@@ -1,0 +1,353 @@
+"""Whole-document parsing: header, xref chain, object graph, page tree.
+
+Covers the reference's ``Parser`` + ``Document`` layers
+(``pdf4py/parser.py:353-697``, ``pdf4py/_document.py:26-46``) as one
+in-memory kernel over a single ``bytes`` buffer (an Arrow binary cell).
+
+Parity quirks preserved (equality gate):
+
+- trailer accumulation lets *older* xref sections overwrite newer keys
+  (``parser.py:523`` — ``trailer.update`` runs newest→oldest);
+- in a hybrid file the classic table's entries shadow its ``XRefStm``
+  entries (fold order, ``parser.py:505-528``);
+- classic-table free entries are stored with ``generation - 1``
+  (``parser.py:644``) while xref-stream free entries keep the raw
+  field value (``parser.py:598``);
+- xref iteration yields entries of *all* generations, oldest section
+  first (``parser.py:93-108`` — its freed-entry filter is a no-op);
+- objects inside object streams are parsed without the string-decrypt
+  hook (their container stream was already decrypted).
+
+Extension beyond the reference (SURVEY §2.7): page-tree traversal with
+attribute inheritance (``Resources``/``MediaBox``/``CropBox``/
+``Rotate``) and page content-stream retrieval, which the text layer
+builds on.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from .errors import PdfSyntaxError, PdfUnsupportedError
+from .filters import decode_chain
+from .model import (
+    CompressedEntry,
+    IndirectObject,
+    InUseEntry,
+    Keyword,
+    Ref,
+    Stream,
+)
+from .objects import ObjectParser
+from .security.handler import StandardSecurityHandler
+from .tokenizer import Tokenizer
+
+TRAILER_FIELDS = frozenset({"Root", "ID", "Size", "Encrypt", "Info", "Prev"})
+
+# page attributes inherited down the Pages tree (ISO 32000 §7.7.3.4)
+_INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+
+class XrefIndex:
+    """The document's object index across incremental updates.
+
+    ``sections`` is ordered newest→oldest; each section is a triple
+    ``(in_use: dict, free: set, compressed: dict)`` keyed/peopled by
+    ``(object_number, generation)``.
+    """
+
+    def __init__(self, sections: list) -> None:
+        self.sections = sections
+
+    def __getitem__(self, key: tuple):
+        for in_use, free, compressed in self.sections:
+            entry = in_use.get(key)
+            if entry is not None:
+                return entry
+            entry = compressed.get(key)
+            if entry is not None:
+                return entry
+            if key in free:
+                return None  # freed object
+        raise KeyError(f"Key not found: {key}")
+
+    def __iter__(self) -> Iterator:
+        for in_use, _free, compressed in reversed(self.sections):
+            yield from in_use.values()
+            yield from compressed.values()
+
+    def __len__(self) -> int:
+        return sum(len(s[0]) + len(s[2]) for s in self.sections)
+
+
+class PdfDocument:
+    """Random-access PDF object graph over one in-memory byte buffer."""
+
+    def __init__(self, data, password=None) -> None:
+        self.buf = bytes(data)
+        self.tok = Tokenizer(self.buf)
+        self.parser = ObjectParser(
+            self.tok, stream_resolver=self._resolve_stream, content_stream_mode=False
+        )
+        # explicit object cache — the reference's lru_cache(256)
+        # analogue (``parser.py:415``) with per-document lifetime
+        self._cache: dict = {}
+        self.xref: Optional[XrefIndex] = None
+        self.version = self._read_header()
+        self.trailer = self._build_xref()
+        enc = self.trailer.get("Encrypt")
+        self.security = None
+        if enc is not None:
+            if isinstance(enc, Ref):
+                enc = self.get_object(enc)
+            self.security = StandardSecurityHandler(password, enc, self.trailer.get("ID"))
+            self.parser.decrypt_hook = self.security.decrypt_string
+
+    # ------------------------------------------------------------ structure
+
+    def _read_header(self) -> str:
+        end = 0
+        n = len(self.buf)
+        while end < n and self.buf[end] not in (0x0A, 0x0D):
+            end += 1
+        return self.buf[:end].decode("utf-8")[1:]
+
+    def _build_xref(self) -> dict:
+        spos = self.tok.find_last_line(b"startxref")
+        if spos < 0:
+            raise PdfSyntaxError("'startxref' keyword not found.")
+        self.tok.seek(spos)
+        self.tok.next()  # the startxref keyword itself
+        xrefpos = self.tok.next()
+        if not isinstance(xrefpos, int):
+            raise PdfSyntaxError("The offset after 'startxref' is not an integer.")
+
+        sections_oldest_first: list = []
+        trailer: dict = {}
+        while xrefpos >= 0:
+            self.tok.seek(xrefpos)
+            first = self.tok.next()
+            if first == Keyword(b"xref"):
+                tr, section = self._parse_xref_table()
+                sections_oldest_first.insert(0, section)
+                xrefstm_pos = tr.get("XRefStm")
+                if xrefstm_pos is not None:
+                    # hybrid file: the classic table stays newer than
+                    # its xref stream (reference fold order)
+                    self.tok.seek(xrefstm_pos)
+                    _, stm_section = self._parse_xref_stream()
+                    sections_oldest_first.insert(0, stm_section)
+            else:
+                self.tok.push_back(first)
+                tr, section = self._parse_xref_stream()
+                sections_oldest_first.insert(0, section)
+            xrefpos = tr.pop("Prev", -1)
+            trailer.update(tr)  # older sections overwrite (parity quirk)
+
+        self.xref = XrefIndex(list(reversed(sections_oldest_first)))
+        return trailer
+
+    def _parse_xref_table(self):
+        """Classic ``xref`` section: subsections of 20-byte records."""
+        in_use: dict = {}
+        free: set = set()
+        tok = self.tok
+        t = tok.next()
+        while isinstance(t, int):
+            start = t
+            count = tok.next()
+            if not isinstance(count, int):
+                raise PdfSyntaxError("Expected the number of entries in the xref subsection.")
+            for i in range(count):
+                offset = tok.next()
+                gen = tok.next()
+                marker = tok.next()
+                if not isinstance(offset, int) or not isinstance(gen, int):
+                    raise PdfSyntaxError("Malformed xref record.")
+                kind = getattr(marker, "value", None)
+                if kind not in ("n", "f"):
+                    raise PdfSyntaxError("Expected 'n' or 'f' xref record marker.")
+                if start == 0 and i == 0:
+                    continue  # head of the free list — unused
+                if kind == "n":
+                    in_use[(start + i, gen)] = InUseEntry(offset, start + i, gen)
+                else:
+                    free.add((start + i, gen - 1))
+            t = tok.next()
+        if t != Keyword(b"trailer"):
+            raise PdfSyntaxError("Expecting 'trailer' section after 'xref' table.")
+        tr = self.parser.parse_object()
+        return tr, (in_use, free, {})
+
+    def _parse_xref_stream(self):
+        """PDF≥1.5 cross-reference *stream* (``W``/``Index`` layout)."""
+        obj = self.parser.parse_object()
+        if not isinstance(obj, IndirectObject) or not isinstance(obj.value, Stream):
+            raise PdfSyntaxError("Expected an indirect stream object holding xref data.")
+        d = obj.value.dictionary
+        if d.get("Type") != "XRef":
+            raise PdfSyntaxError("Stream at xref position is not of /Type /XRef.")
+        tr = {k: v for k, v in d.items() if k in TRAILER_FIELDS}
+        raw = obj.value.data()
+        size = d["Size"]
+        index = d.get("Index", [0, size])
+        widths = list(d["W"])
+        in_use: dict = {}
+        free: set = set()
+        compressed: dict = {}
+        pos = 0
+        for i in range(0, len(index) - 1, 2):
+            start, count = index[i], index[i + 1]
+            for j in range(count):
+                if start == 0 and j == 0:
+                    pos += sum(widths)
+                    continue
+                vals = [None, None, None]
+                for k in range(3):
+                    w = widths[k]
+                    if w > 0:
+                        vals[k] = int.from_bytes(raw[pos : pos + w], "big")
+                        pos += w
+                if vals[0] is None:
+                    vals[0] = 1
+                if vals[0] == 1 and vals[2] is None:
+                    vals[2] = 0
+                num = start + j
+                if vals[0] == 0:
+                    free.add((num, vals[2]))
+                elif vals[0] == 1:
+                    in_use[(num, vals[2])] = InUseEntry(vals[1], num, vals[2])
+                else:
+                    compressed[(num, 0)] = CompressedEntry(num, vals[1], vals[2])
+        return tr, (in_use, free, compressed)
+
+    # ------------------------------------------------------------ objects
+
+    def _resolve_stream(self, d: dict, data_start: int, obj_id):
+        if d.get("F") is not None:
+            raise PdfUnsupportedError("Streams with data in an external file are not supported.")
+        length = d.get("Length")
+        if length is None:
+            raise PdfSyntaxError("Stream dictionary lacks a 'Length' entry.")
+        if isinstance(length, Ref):
+            try:
+                entry = self.xref[(length.number, length.generation)]
+            except (KeyError, TypeError):
+                raise PdfSyntaxError("Stream 'Length' references a missing object.")
+            length = self.get_object(entry)
+        if not isinstance(length, int):
+            raise PdfSyntaxError("The stream 'Length' is not an integer.")
+
+        def read() -> bytes:
+            data = self.buf[data_start : data_start + length]
+            if d.get("Type") != "XRef" and self.security is not None:
+                data = self.security.decrypt_stream(data, d, obj_id)
+            return decode_chain(d, data)
+
+        return length, read
+
+    def get_object(self, ref):
+        """Resolve a ``Ref`` / xref entry to its object (memoized)."""
+        if isinstance(ref, Ref):
+            entry = self.xref[(ref.number, ref.generation)]
+        else:
+            entry = ref
+        if entry is None:
+            return None
+        cached = self._cache.get(entry, _MISSING)
+        if cached is not _MISSING:
+            return cached
+
+        if isinstance(entry, InUseEntry):
+            obj_id = (entry.number, entry.generation)
+            tok = self.tok
+            tok._stack.append((tok.pos, tok.pending))
+            tok.pending = []
+            tok.pos = entry.offset
+            try:
+                value = self.parser.parse_object(obj_id).value
+            finally:
+                tok.back()
+        elif isinstance(entry, CompressedEntry):
+            value = self._parse_from_object_stream(entry)
+        else:
+            raise ValueError(f"Unsupported reference type: {entry!r}")
+        self._cache[entry] = value
+        return value
+
+    def _parse_from_object_stream(self, entry: CompressedEntry):
+        container = self.get_object(Ref(entry.container, 0))
+        if not isinstance(container, Stream):
+            raise PdfSyntaxError("Object-stream container is not a stream.")
+        payload = container.data()
+        d = container.dictionary
+        # no decrypt hook: the container payload is already plaintext
+        sub = ObjectParser(payload, stream_resolver=self._resolve_stream,
+                           content_stream_mode=False)
+        for _ in range(d["N"]):
+            num = sub.parse_object()
+            offset = sub.parse_object()
+            if not isinstance(num, int) or not isinstance(offset, int):
+                raise PdfSyntaxError("Expected integer pairs in object-stream header.")
+            if num == entry.number:
+                sub.tok.seek(d["First"] + offset)
+                return sub.parse_object()
+        raise PdfSyntaxError("Compressed object not found in its object stream.")
+
+    def deref(self, obj):
+        """Follow ``Ref`` chains to a concrete value."""
+        while isinstance(obj, Ref):
+            obj = self.get_object(obj)
+        return obj
+
+    def iter_objects(self) -> Iterator:
+        """Parse every in-use + compressed object (functional-walk order)."""
+        for entry in self.xref:
+            yield entry, self.get_object(entry)
+
+    # ------------------------------------------------------------ pages
+
+    def catalog(self) -> dict:
+        return self.deref(self.trailer["Root"])
+
+    def pages(self) -> list:
+        """Leaf page dictionaries in tree (reading) order, with
+        inheritable attributes resolved."""
+        out: list = []
+        root = self.deref(self.catalog()["Pages"])
+        self._walk_pages(root, {}, out)
+        return out
+
+    def _walk_pages(self, node: dict, inherited: dict, out: list) -> None:
+        node = self.deref(node)
+        inh = dict(inherited)
+        for key in _INHERITABLE:
+            if key in node:
+                inh[key] = node[key]
+        if node.get("Type") == "Pages":
+            for kid in node["Kids"]:
+                self._walk_pages(kid, inh, out)
+        else:
+            page = dict(node)
+            for key, val in inh.items():
+                page.setdefault(key, val)
+            out.append(page)
+
+    def page_content(self, page: dict) -> bytes:
+        """Decoded content-stream bytes of a page; an array of streams
+        is concatenated with a newline separator (ISO 32000 §7.8.2
+        treats the pieces as one stream divided at lexical boundaries)."""
+        contents = self.deref(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, Stream):
+            return contents.data()
+        parts = []
+        for piece in contents:
+            piece = self.deref(piece)
+            if isinstance(piece, Stream):
+                parts.append(piece.data())
+        return b"\n".join(parts)
+
+
+_MISSING = object()

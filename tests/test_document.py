@@ -1,0 +1,112 @@
+"""Whole-document tests over the synthetic fixture corpus — the
+analogue of the reference's functional suite
+(``/root/reference/tests/functional_tests.py:8-93``): parse every
+object, decode every stream, check versions / page counts / xref
+chains."""
+
+import pytest
+
+from pdf4py_ray.kernel import pdfgen
+from pdf4py_ray.kernel.document import PdfDocument
+from pdf4py_ray.kernel.model import Stream
+
+
+def walk_all(doc: PdfDocument) -> int:
+    """Parse every object and force-decode every stream; returns count."""
+    n = 0
+    for _entry, obj in doc.iter_objects():
+        if isinstance(obj, Stream):
+            obj.data()
+        n += 1
+    return n
+
+
+ALL_FIXTURES = {
+    "minimal": lambda: pdfgen.minimal_pdf(),
+    "multi_page": lambda: pdfgen.minimal_pdf(("page one", "page two", "page three")),
+    "xref_stream": lambda: pdfgen.minimal_pdf(("xref stream doc",), xref_stream=True),
+    "object_streams": pdfgen.object_stream_pdf,
+    "stream_length_ref": pdfgen.stream_length_ref_pdf,
+    "incremental": pdfgen.incremental_update_pdf,
+    "hybrid": pdfgen.hybrid_xrefstm_pdf,
+    "flate": lambda: pdfgen.filter_pdf("FlateDecode"),
+    "flate_png": lambda: pdfgen.filter_pdf("FlateDecode+PNG"),
+    "lzw": lambda: pdfgen.filter_pdf("LZWDecode"),
+    "asciihex": lambda: pdfgen.filter_pdf("ASCIIHexDecode"),
+    "ascii85": lambda: pdfgen.filter_pdf("ASCII85Decode"),
+    "rle": lambda: pdfgen.filter_pdf("RunLengthDecode"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_FIXTURES))
+def test_walk_every_fixture(name):
+    doc = PdfDocument(ALL_FIXTURES[name]())
+    assert walk_all(doc) > 0
+
+
+def test_header_version():
+    assert PdfDocument(pdfgen.minimal_pdf()).version == "PDF-1.4"
+    assert PdfDocument(pdfgen.minimal_pdf(xref_stream=True)).version == "PDF-1.5"
+
+
+def test_page_count_and_order():
+    doc = PdfDocument(pdfgen.minimal_pdf(("a", "b", "c")))
+    pages = doc.pages()
+    assert len(pages) == 3
+    contents = [doc.page_content(p) for p in pages]
+    assert b"(a)" in contents[0] and b"(b)" in contents[1] and b"(c)" in contents[2]
+
+
+def test_resources_inherited():
+    doc = PdfDocument(pdfgen.minimal_pdf(("x",)))
+    page = doc.pages()[0]
+    assert "Resources" in page
+
+
+def test_xref_stream_roundtrip():
+    doc = PdfDocument(pdfgen.minimal_pdf(("via xref stream",), xref_stream=True))
+    assert b"(via xref stream)" in doc.page_content(doc.pages()[0])
+
+
+def test_object_streams_resolution():
+    doc = PdfDocument(pdfgen.object_stream_pdf(("objstm text",)))
+    assert doc.catalog()["Type"] == "Catalog"
+    assert b"(objstm text)" in doc.page_content(doc.pages()[0])
+
+
+def test_stream_length_by_reference():
+    doc = PdfDocument(pdfgen.stream_length_ref_pdf())
+    assert b"(Length by reference)" in doc.page_content(doc.pages()[0])
+
+
+def test_incremental_update_newest_wins():
+    doc = PdfDocument(pdfgen.incremental_update_pdf())
+    content = doc.page_content(doc.pages()[0])
+    assert b"(Updated text)" in content
+    assert b"Original" not in content
+
+
+def test_hybrid_xrefstm_entries_found():
+    doc = PdfDocument(pdfgen.hybrid_xrefstm_pdf())
+    assert b"(Hybrid xref text)" in doc.page_content(doc.pages()[0])
+
+
+def test_filter_decoded_content():
+    for f in ("FlateDecode", "FlateDecode+PNG", "LZWDecode",
+              "ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode"):
+        doc = PdfDocument(pdfgen.filter_pdf(f))
+        label = f.split("+")[0]
+        assert f"Filtered by {label}".encode() in doc.page_content(doc.pages()[0]), f
+
+
+def test_object_cache_hit():
+    doc = PdfDocument(pdfgen.minimal_pdf())
+    a = doc.catalog()
+    b = doc.catalog()
+    assert a is b  # memoized via the explicit per-document cache
+
+
+def test_missing_object_keyerror():
+    doc = PdfDocument(pdfgen.minimal_pdf())
+    with pytest.raises(KeyError):
+        doc.xref[(999, 0)]
