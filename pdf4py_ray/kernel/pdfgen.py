@@ -401,6 +401,72 @@ def hybrid_xrefstm_pdf() -> bytes:
     return bytes(buf)
 
 
+_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+2 beginbfchar
+<01> <0048>
+<02> <0069>
+endbfchar
+1 beginbfrange
+<10> <12> <0061>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def tounicode_pdf() -> bytes:
+    """A font with a ToUnicode CMap; content shows hex-string codes via
+    Tj and a TJ array with kerning adjustments (FIXTURES §2)."""
+    w = PdfWriter("1.4")
+    cmap_ref = w.add(RawStream({"Filter": "FlateDecode"}, zlib.compress(_TOUNICODE_CMAP)))
+    font_ref = w.add(
+        {"Type": "Font", "Subtype": "TrueType", "BaseFont": "Custom", "ToUnicode": cmap_ref}
+    )
+    content = b"BT /F1 12 Tf 72 712 Td <0102> Tj [ <10> -200 <11> 30 <12> ] TJ ET"
+    root = w.simple_page_tree([content], {"Font": {"F1": font_ref}})
+    return w.tobytes(root)
+
+
+def multiline_pdf() -> bytes:
+    """Td/TD/T*/quote line-advance fixture for the text state machine."""
+    content = (
+        b"BT /F1 12 Tf 14 TL 72 712 Td (first line) Tj "
+        b"0 -14 Td (second line) Tj T* (third line) Tj "
+        b"(fourth line) ' ET "
+        b"BT /F1 9 Tf 300 712 Td (column two) Tj ET"
+    )
+    w = PdfWriter("1.4")
+    font_ref = w.add(dict(_BASE_FONT))
+    root = w.simple_page_tree([content], {"Font": {"F1": font_ref}})
+    return w.tobytes(root)
+
+
+def pagetree_nested_pdf() -> bytes:
+    """3-level Pages/Kids tree with 4 leaf pages — pins page ordering."""
+    w = PdfWriter("1.4")
+    font_ref = w.add(dict(_BASE_FONT))
+    res = {"Font": {"F1": font_ref}}
+    c_refs = [w.add(RawStream({}, _content(f"leaf {i}"))) for i in range(4)]
+    # numbering: inner1, inner2, outer, catalog allocated after pages
+    base = w._next
+    p_refs = [
+        w.add({"Type": "Page", "Parent": Ref(base + 4 + (0 if i < 2 else 1), 0),
+               "Contents": c_refs[i], "Resources": res})
+        for i in range(4)
+    ]
+    inner1 = w.add({"Type": "Pages", "Kids": p_refs[:2], "Count": 2})
+    inner2 = w.add({"Type": "Pages", "Kids": p_refs[2:], "Count": 2})
+    outer = w.add({"Type": "Pages", "Kids": [inner1, inner2], "Count": 4})
+    root = w.add({"Type": "Catalog", "Pages": outer})
+    return w.tobytes(root)
+
+
 # --------------------------------------------------------------------------
 # encrypted fixtures (standard security handler)
 
