@@ -1,44 +1,353 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the pdf4py_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-extraction pipeline at
+sf0.001; ``queries()`` exposes one callable per implemented operator
+(SURVEY §2 + the training-data operators); ``oracle_sql()`` gives the
+DuckDB-checkable subset (value-hash gate). Non-SQL-expressible ops
+(extraction, sketch dedup, LSH ANN, media stubs) are rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` happens here or in the library.
+
+Float discipline for the oracle gate: every aggregated money/quantity
+column is integer cents; ratio columns are single IEEE divisions of
+exact integers — bit-identical between the Ray pipelines and DuckDB.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def _ship_package_by_value() -> None:
+    """Make the library importable inside Ray workers even when the
+    driver process was launched from another working directory: ship
+    every ``pdf4py_ray`` module by value through cloudpickle."""
+    try:
+        # Ray serializes with its *vendored* cloudpickle — register there
+        from ray import cloudpickle
+
+        import pdf4py_ray  # noqa: F401 — ensures the root module is loaded
+        from pdf4py_ray import functions, kernel, pipelines, sources, stages  # noqa: F401
+        from pdf4py_ray.kernel import (  # noqa: F401
+            cmap, document, errors, filters, html_extract, model, objects,
+            pdfgen, text, tokenizer,
+        )
+        from pdf4py_ray.kernel.security import aes, handler, rc4  # noqa: F401
+        from pdf4py_ray.functions import hashing  # noqa: F401
+        from pdf4py_ray.pipelines import checkpoint, extract_pipeline  # noqa: F401
+        from pdf4py_ray.sources import transcripts  # noqa: F401
+        from pdf4py_ray.stages import (  # noqa: F401
+            dedup, extract, multimodal, partition, relational, similarity, textstats,
+        )
+
+        for name, module in list(sys.modules.items()):
+            if name == "pdf4py_ray" or name.startswith("pdf4py_ray."):
+                cloudpickle.register_pickle_by_value(module)
+    except Exception:  # pragma: no cover — workers sharing cwd still work
+        pass
+
+
+_ship_package_by_value()
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize transcript turns from sf0.001
+    documents, extract main content (PDF/HTML/plain), stable-sort."""
+    from pdf4py_ray.pipelines.extract_pipeline import run_extraction
+
+    ds = run_extraction(SF_SMOKE, out_dir=None, num_partitions=8, concurrency=(1, 4))
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "kind", "extracted_text", "status", "n_objects", "n_bytes"]
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _extract_turns(sf_dir: str):
+    from pdf4py_ray.pipelines.extract_pipeline import run_extraction
+
+    ds = run_extraction(sf_dir, out_dir=None, num_partitions=16, concurrency=(1, 8))
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "kind", "extracted_text", "status", "n_objects", "n_bytes"]
+    )
+
+
+def _extract_metrics(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from pdf4py_ray.pipelines.extract_pipeline import extraction_dataset
+    from pdf4py_ray.sources.transcripts import synth_transcripts
+
+    ds = extraction_dataset(
+        synth_transcripts(sf_dir), num_partitions=16, concurrency=(1, 8)
+    )
+    return ds.groupby(["kind", "status"]).aggregate(
+        Count(alias_name="n_turns"), Sum("n_bytes", alias_name="payload_bytes")
+    )
+
+
+def _exact_dedup(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import exact_dedup_representatives
+
+    return exact_dedup_representatives(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _exact_dup_groups(sf_dir: str):
+    import pandas as pd
+
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import exact_dup_groups
+
+    ds = exact_dup_groups(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    # a count keeps the result schema stable even when no dups exist
+    return pd.DataFrame({"n_dup_groups": [int(ds.count())]})
+
+
+def _minhash_pairs(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _simhash_pairs(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import simhash_candidates
+
+    return simhash_candidates(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _embedding_dups(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import embedding_dup_pairs
+
+    ds = embedding_dup_pairs(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.2
+    )
+    return ds.select_columns(["id_a", "id_b"])
+
+
+def _text_stats(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import text_stats
+
+    ds = text_stats(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "punct_ratio",
+         "stopword_ratio", "quality_score"]
+    )
+
+
+def _lang_id(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import text_stats
+
+    ds = text_stats(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def _fingerprints(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import text_stats
+
+    ds = text_stats(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def _knn_brute(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.similarity import knn_brute
+
+    ds = knn_brute(read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   k=5, num_queries=8)
+    return ds.select_columns(["query_id", "neighbor_id"])
+
+
+def _knn_lsh(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.similarity import knn_lsh
+
+    ds = knn_lsh(read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                 k=5, num_queries=8)
+    return ds.select_columns(["query_id", "neighbor_id"])
+
+
+def _media_decode(sf_dir: str):
+    import ray.data as rd
+
+    from pdf4py_ray.stages.multimodal import decode_media, synth_media_table
+
+    return decode_media(rd.from_arrow(synth_media_table(96))).select_columns(
+        ["media_id", "kind", "format", "n_bytes", "content_hash", "width", "height"]
+    )
+
+
+def _frame_sample(sf_dir: str):
+    import ray.data as rd
+
+    from pdf4py_ray.stages.multimodal import sample_frames, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(96)).filter(expr="kind == 'video'")
+    return sample_frames(media)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf4py_ray.stages import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (non-SQL: synthesized payload corpus)
+        "x_extract_turns": _extract_turns,
+        "x_extract_metrics": _extract_metrics,
+        # relational engine layer (SURVEY §2.6)
+        "q_pricing_summary": rel.pricing_summary,
+        "q_revenue_by_segment": rel.revenue_by_segment,
+        "q_orders_per_nation": rel.orders_per_nation,
+        "q_customers_per_region": rel.customers_per_region,
+        "q_top_orders": rel.top_orders,
+        "q_revenue_filtered": rel.revenue_filtered,
+        "q_distinct_event_types": rel.distinct_event_types,
+        "q_daily_event_stats": rel.daily_event_stats,
+        "q_user_sessions": rel.user_sessions,
+        # dedup family
+        "d_exact_dedup": _exact_dedup,
+        "d_exact_dup_groups": _exact_dup_groups,
+        "d_minhash_pairs": _minhash_pairs,
+        "d_simhash_pairs": _simhash_pairs,
+        "d_embedding_dups": _embedding_dups,
+        # text analysis
+        "t_text_stats": _text_stats,
+        "t_lang_id": _lang_id,
+        "t_fingerprints": _fingerprints,
+        # similarity search
+        "s_knn_brute": _knn_brute,
+        "s_knn_lsh": _knn_lsh,
+        # multimodal plumbing (stubbed decode)
+        "m_media_decode": _media_decode,
+        "m_frame_sample": _frame_sample,
+    }
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+_BPE_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
+_STOPWORDS_SQL = "'the','and','of','to','a','in','is','it','that','for','on','with','as'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_revenue_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_orders_per_nation": """
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "q_customers_per_region": """
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+            FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
+        """,
+        "q_revenue_filtered": """
+            SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "q_distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "q_daily_event_stats": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY event_type, day
+        """,
+        "q_user_sessions": """
+            SELECT user_id,
+                   CAST(1 + COALESCE(SUM(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+                FROM events
+            ) gaps
+            GROUP BY user_id
+        """,
+        "d_exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "d_exact_dup_groups": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups FROM (
+                SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1
+            ) dup_groups
+        """,
+        "d_embedding_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.2
+        """,
+        "t_text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   CAST(array_length(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(array_length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN array_length(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) > 0
+                        THEN CAST(array_length(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿ]+'),
+                                                           w -> w IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+                             / array_length(regexp_extract_all(lower(text), '[a-zà-ÿ]+'))
+                        ELSE 0.0 END AS stopword_ratio,
+                   least(1.0, CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) / 100.0)
+                   * (1.0 - CASE WHEN length(text) > 0
+                        THEN CAST(array_length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END) AS quality_score
+            FROM documents
+        """,
+        "s_knn_brute": """
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id
+                       ) AS rnk
+                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 8
+            ) ranked WHERE rnk <= 5
+        """,
+    }

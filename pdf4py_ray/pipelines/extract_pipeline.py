@@ -1,0 +1,143 @@
+"""The flagship pipeline: transcript turns → extracted main content.
+
+Lifecycle (SURVEY §3.4):
+
+    read/synthesize turns                       # stateless, column-pruned
+      → add part_id (hash(conv_id) % P, salted) # stateless map_batches
+      → ExtractTurns actor pool                 # stateful map_batches, pyarrow batches
+      → sort(conv_id, turn_idx)                 # stable order for the equality gate
+      → write_parquet(partition_cols=[part_id]) # + per-partition manifests
+
+Everything stays a lazy streaming ``Dataset`` until a terminal
+consume; no mid-pipeline materialization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+from ..sources.transcripts import synth_transcripts
+from ..stages.extract import ExtractTurns
+from ..stages.partition import add_part_id
+from . import checkpoint
+
+__PIPELINE_VERSION__ = "r1.0"
+
+SORT_KEYS = ["conv_id", "turn_idx"]
+
+
+def extraction_dataset(
+    turns_ds,
+    num_partitions: int = 32,
+    salt_turns: Optional[int] = 16,
+    concurrency=(2, 8),
+    batch_size: int = 32,
+    skip_partitions: Optional[set] = None,
+):
+    """Wire the extraction stages onto an existing turns Dataset."""
+    ds = turns_ds.map_batches(
+        functools.partial(add_part_id, num_partitions=num_partitions, salt_turns=salt_turns),
+        batch_format="pyarrow",
+    )
+    if skip_partitions:
+        skip = skip_partitions
+
+        def drop_done(batch):
+            import numpy as np
+            import pyarrow.compute as pc
+            import pyarrow as pa
+
+            mask = pa.array(
+                ~_np_isin(batch["part_id"].to_numpy(zero_copy_only=False), skip)
+            )
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    return ds.map_batches(
+        ExtractTurns,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def _np_isin(values, skip: set):
+    import numpy as np
+
+    arr = np.asarray(sorted(skip))
+    return np.isin(values, arr)
+
+
+def run_extraction(
+    sf_dir: str,
+    out_dir: Optional[str] = None,
+    num_partitions: int = 32,
+    salt_turns: Optional[int] = 16,
+    concurrency=(2, 8),
+    batch_size: int = 32,
+    sort: bool = True,
+    resume: bool = True,
+):
+    """Run the flagship pipeline over a scale-factor directory.
+
+    Returns the result Dataset when ``out_dir`` is None, else writes
+    partitioned parquet + manifests and returns the output path.
+    """
+    turns = synth_transcripts(sf_dir)
+    skip = checkpoint.completed_partitions(out_dir) if (out_dir and resume) else None
+    ds = extraction_dataset(
+        turns,
+        num_partitions=num_partitions,
+        salt_turns=salt_turns,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        skip_partitions=skip,
+    )
+    if out_dir is None:
+        return ds.sort(SORT_KEYS) if sort else ds
+
+    ds.write_parquet(out_dir, partition_cols=["part_id"])
+    _write_manifests(sf_dir, out_dir, skip or set())
+    return out_dir
+
+
+def _write_manifests(sf_dir: str, out_dir: str, already_done: set) -> None:
+    """Post-write per-partition metrics → manifests (cheap column-pruned
+    read-back of the freshly written output)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    out = rd.read_parquet(out_dir, columns=["part_id", "n_bytes", "status"])
+
+    def flag_errors(batch):
+        err = pc.cast(pc.equal(batch["status"], "error"), "int64")
+        return batch.append_column("is_error", err)
+
+    metrics = (
+        out.map_batches(flag_errors, batch_format="pyarrow")
+        .groupby("part_id")
+        .aggregate(Count(alias_name="rows"), Sum("n_bytes", alias_name="payload_bytes"),
+                   Sum("is_error", alias_name="errors"))
+    )
+    lineage = {
+        "pipeline_version": __PIPELINE_VERSION__,
+        "input": sf_dir,
+        "stages": ["synth_transcripts", "add_part_id", "ExtractTurns"],
+    }
+    for row in metrics.iter_rows():
+        part_id = int(row["part_id"])
+        if part_id in already_done:
+            continue
+        checkpoint.write_manifest(
+            out_dir,
+            part_id,
+            {
+                "rows": int(row["rows"]),
+                "payload_bytes": int(row["payload_bytes"] or 0),
+                "errors": int(row["errors"] or 0),
+            },
+            lineage,
+        )

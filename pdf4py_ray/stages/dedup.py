@@ -1,0 +1,309 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale notes (the 100 TB design): every variant follows the
+pre-aggregate / bucket-shuffle pattern — per-batch vectorized sketches
+first, then a ``groupby`` over the *much smaller* sketch rows (never
+over raw text), candidate pairs verified from the signatures
+themselves (no second pass over the corpus). The embedding variant
+broadcasts the small normalized matrix via ``ray.put`` (one object,
+read per actor, never re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import (
+    band_hashes,
+    minhash_params,
+    minhash_signature,
+    stable_hash64,
+)
+
+# ---------------------------------------------------------------- exact
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = batch[text_col].to_pylist()
+    hashes = np.fromiter(
+        (stable_hash64(v or "") >> 1 for v in vals), dtype=np.int64, count=len(vals)
+    )
+    return batch.append_column("content_hash", pa.array(hashes, type=pa.int64()))
+
+
+def exact_dedup_representatives(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One representative (min id) per distinct text → hash-partitioned
+    groupby over 8-byte hashes, not raw strings."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    )
+    reps = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    return reps.select_columns([id_col])
+
+
+def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(content_hash, n_copies) for texts appearing more than once."""
+    from ray.data.aggregate import Count
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    )
+    counts = hashed.groupby("content_hash").aggregate(Count(alias_name="n_copies"))
+    return counts.filter(expr="n_copies > 1")
+
+
+# ---------------------------------------------------------------- minhash
+
+NUM_PERM = 64
+NUM_BANDS = 16
+SHINGLE_WORDS = 3
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_WORDS) -> np.ndarray:
+    words = (text or "").lower().split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.fromiter((stable_hash64(g) for g in set(grams)), dtype=np.uint64)
+
+
+class MinHashSignatures:
+    """Actor stage: text → (doc_id, 64-perm signature, band rows)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        self.a, self.b = minhash_params(NUM_PERM)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_bandhash, out_sig = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = minhash_signature(_shingle_hashes(text), self.a, self.b)
+            sig_list = sig.astype(np.int64).tolist()
+            for band, bh in enumerate(band_hashes(sig, NUM_BANDS)):
+                out_id.append(doc_id)
+                out_band.append(band)
+                out_bandhash.append(bh)
+                out_sig.append(sig_list)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_bandhash, type=pa.int64()),
+                "signature": pa.array(out_sig, type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.8, concurrency=(2, 8)):
+    """Near-duplicate pairs via MinHash-LSH.
+
+    shingle→minhash→band rows → ``groupby(band, band_hash)`` buckets →
+    candidate pairs → Jaccard *estimated from the signatures already in
+    the bucket* (no second corpus pass — the scale path).
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    """
+    bands = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=256,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        group = group.sort_values(id_col).drop_duplicates(id_col)
+        ids = group[id_col].to_numpy()
+        sigs = np.stack(group["signature"].to_numpy())
+        rows_a, rows_b, est = [], [], []
+        for i in range(len(ids)):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for j, e in enumerate(eq):
+                if e >= threshold:
+                    rows_a.append(int(ids[i]))
+                    rows_b.append(int(ids[i + 1 + j]))
+                    est.append(float(e))
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
+
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # a pair can surface from several bands — keep one row per pair
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+class SimHash64:
+    """Actor stage: append a 64-bit SimHash fingerprint column."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.bit_cols = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        words = (text or "").lower().split()
+        if not words:
+            return 0
+        hashes = np.fromiter((stable_hash64(w) for w in words), dtype=np.uint64)
+        bits = ((hashes[:, None] >> self.bit_cols[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for k in np.nonzero(acc > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(k)
+        return int(fp >> np.uint64(1))  # keep int64-positive
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("simhash", pa.array(fps, type=pa.int64()))
+
+
+def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3, concurrency=(2, 8)):
+    """Near-dup candidates with Hamming distance ≤ ``max_hamming``:
+    band the 63 usable bits into 4 blocks (pigeonhole: any pair within
+    distance 3 agrees on ≥1 block), groupby block value, verify
+    distance inside the bucket."""
+    fps = ds.select_columns([id_col, text_col]).map_batches(
+        SimHash64, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency, batch_size=512,
+    ).select_columns([id_col, "simhash"])
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        fp = batch["simhash"].to_pylist()
+        rows = {"block": [], "block_val": [], id_col: [], "simhash": []}
+        for i, f in zip(ids, fp):
+            for blk in range(4):
+                rows["block"].append(blk)
+                rows["block_val"].append((f >> (16 * blk)) & 0xFFFF)
+                rows[id_col].append(i)
+                rows["simhash"].append(f)
+        return pa.table(rows)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        group = group.sort_values(id_col).drop_duplicates(id_col)
+        ids = group[id_col].to_numpy()
+        fps = group["simhash"].to_numpy().astype(np.uint64)
+        rows_a, rows_b, dist = [], [], []
+        for i in range(len(ids)):
+            x = fps[i + 1 :] ^ fps[i]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(ham <= max_hamming)[0]:
+                rows_a.append(int(ids[i]))
+                rows_b.append(int(ids[i + 1 + j]))
+                dist.append(int(ham[j]))
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "hamming": dist})
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        fps.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby(["block", "block_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 5):
+    """Exact char-n-gram Jaccard for candidate pairs.
+
+    The candidate set is small by construction (LSH output), so the
+    texts of involved ids are broadcast via ``ray.put`` and the exact
+    verification runs as one vectorized stage over the pairs.
+    """
+    import ray
+
+    pair_rows = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
+    involved = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
+    if not involved:
+        import ray.data as rd
+
+        return rd.from_items([])
+    involved_set = set(involved)
+    texts = {}
+    for row in ds.select_columns([id_col, text_col]).iter_rows():
+        if row[id_col] in involved_set:
+            texts[row[id_col]] = row[text_col] or ""
+    ref = ray.put(texts)
+
+    def grams(s: str) -> set:
+        return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        jac = []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            ga, gb = grams(lookup.get(a, "")), grams(lookup.get(b, ""))
+            union = len(ga | gb)
+            jac.append(len(ga & gb) / union if union else 0.0)
+        batch["jaccard"] = jac
+        return batch
+
+    return pairs_ds.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    The normalized matrix is broadcast once (``ray.put``); each batch
+    computes a (batch × all) float64 matmul — the brute-force baseline.
+    Scale path: LSH-bucket the vectors first (see similarity.knn_lsh)
+    so each bucket's matmul is local.
+    """
+    import ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        out_a, out_b, out_cos = [], [], []
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        n = np.linalg.norm(vecs, axis=1)
+        n[n == 0] = 1.0
+        vecs = vecs / n[:, None]
+        sims = vecs @ all_mat.T
+        for row_i, my_id in enumerate(batch[id_col]):
+            hits = np.nonzero((sims[row_i] >= threshold) & (all_ids > my_id))[0]
+            for h in hits:
+                out_a.append(int(my_id))
+                out_b.append(int(all_ids[h]))
+                out_cos.append(float(sims[row_i, h]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_cos})
+
+    return ds.map_batches(batch_pairs, batch_format="pandas", batch_size=512)

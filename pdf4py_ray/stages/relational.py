@@ -1,0 +1,280 @@
+"""Relational/dataflow operator pipelines over the driver tables.
+
+These exercise the engine layer of SURVEY §2.6 — scan with projection
+pushdown, vectorized filter/map, partial aggregation before shuffle,
+broadcast joins, native hash join, sort/limit, distinct, windowed
+aggregation, sessionization — each with an ANSI-SQL oracle (see
+``__ray_entry__.oracle_sql``).
+
+Float discipline: distributed double sums are order-dependent, so all
+money/quantity aggregations run on integer cents
+(``round(x * 100) :: int64``) — associative, exact, and identically
+computable in SQL. Ratios are single IEEE divisions of exact integers,
+deterministic on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.transcripts import read_table
+
+
+def _cents(arr) -> pa.Array:
+    # floor(x*100 + 0.5): rounding-mode-independent for positive values
+    # (pyarrow ties-to-even vs DuckDB half-away would otherwise diverge)
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, 100.0), 0.5)), "int64")
+
+
+# ------------------------------------------------------------------ Q1-style
+
+
+def pricing_summary(sf_dir: str):
+    """Per (returnflag, linestatus) pricing summary — integer-cent sums
+    pre-aggregated inside each batch before the small groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = _cents(batch["l_quantity"])
+        price = _cents(batch["l_extendedprice"])
+        disc_price = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])),
+                        100.0,
+                    ),
+                    0.5,
+                )
+            ),
+            "int64",
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_cents": qty,
+                "price_cents": price,
+                "disc_price_cents": disc_price,
+            }
+        )
+        # per-batch combiner: one row per key per batch
+        return pa.Table.from_pandas(
+            t.to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                qty_cents=("qty_cents", "sum"),
+                price_cents=("price_cents", "sum"),
+                disc_price_cents=("disc_price_cents", "sum"),
+                count_order=("qty_cents", "size"),
+            ),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+
+def revenue_by_segment(sf_dir: str):
+    """orders ⨝ customer via *broadcast* (small side shipped once with
+    ray.put, looked up per batch — no shuffle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    lookup = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    ref = ray.put(lookup)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        seg_map = ray.get(ref)
+        batch["c_mktsegment"] = batch["o_custkey"].map(seg_map)
+        batch["price_cents"] = np.floor(batch["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        out = (
+            batch.groupby("c_mktsegment", as_index=False)
+            .agg(revenue_cents=("price_cents", "sum"), n_orders=("price_cents", "size"))
+        )
+        return out
+
+    return (
+        orders.map_batches(tag, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+def orders_per_nation(sf_dir: str):
+    """orders ⨝ customer with the *native* Dataset hash join, then a
+    groupby — covers Dataset.join."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_cents", _cents(batch["o_totalprice"])).drop_columns(
+            ["o_totalprice"]
+        )
+
+    orders = orders.map_batches(add_cents, batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="revenue_cents")
+    )
+
+
+def customers_per_region(sf_dir: str):
+    """3-way dimension lookup (nation, region broadcast) → counts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).take_all()
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
+    nat_to_region = {
+        r["n_nationkey"]: next(
+            g["r_name"] for g in region if g["r_regionkey"] == r["n_regionkey"]
+        )
+        for r in nation
+    }
+    ref = ray.put(nat_to_region)
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        batch["r_name"] = batch["c_nationkey"].map(lookup)
+        return batch.groupby("r_name", as_index=False).agg(n_customers=("r_name", "size"))
+
+    return (
+        cust.map_batches(tag, batch_format="pandas", batch_size=65536)
+        .groupby("r_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+# ------------------------------------------------------------------ scan shapes
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global top-k by price (sort + limit), deterministic tie-break."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_cents", _cents(batch["o_totalprice"])).drop_columns(
+            ["o_totalprice"]
+        )
+
+    return (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .sort([("price_cents"), ("o_orderkey")], descending=[True, False])
+        .limit(k)
+    )
+
+
+def revenue_filtered(sf_dir: str):
+    """TPC-H Q6 shape: vectorized filter + projected sum (one row)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_discount"], 0.05),
+                pc.less_equal(batch["l_discount"], 0.07),
+            ),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        hit = batch.filter(mask)
+        rev = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.multiply(hit["l_extendedprice"], hit["l_discount"]), 100.0), 0.5)),
+            "int64",
+        )
+        total = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_cents": pa.array([total], type=pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    result = partials.aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    return pd.DataFrame([result])
+
+
+def distinct_event_types(sf_dir: str):
+    """DISTINCT via unique() (a shuffle)."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    values = sorted(ds.unique("event_type"))
+    import ray.data as rd
+
+    return rd.from_items([{"event_type": v} for v in values])
+
+
+# ------------------------------------------------------------------ windows
+
+
+def daily_event_stats(sf_dir: str):
+    """Tumbling 1-day window per event_type: count + integer-cent sum.
+
+    Ray Data has no event-time windows; the tumbling window is the
+    bucketed groupby (ray_guide: streaming-shaped workloads)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        batch["value_cents"] = np.floor(batch["value"] * 100.0 + 0.5).astype("int64")
+        return batch.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("value_cents", "size"), sum_value_cents=("value_cents", "sum")
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user ordered gap analysis via
+    groupby(user).map_groups (the ordered-log pattern)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds().fillna(0.0)
+        n = int((gaps > gap_minutes * 60).sum()) + 1
+        return pd.DataFrame({"user_id": [group["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

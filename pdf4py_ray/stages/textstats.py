@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-profile heuristic), quality scoring, token
+counting (whitespace + a BPE-ish regex), and document fingerprinting
+(min rolling hash of word 5-grams). All are ``map_batches`` stages;
+the heavy pieces (compiled regexes, stopword tables) live in actor
+``__init__``.
+
+The token/punctuation metrics are defined to be *exactly* replicable
+in ANSI SQL (see ``__ray_entry__.oracle_sql``), so the DuckDB oracle
+can value-check them; lang-ID and fingerprints are rows-only checks.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import stable_hash64
+
+# minimal stopword profiles (public common-word lists)
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "une", "un", "des", "du", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "no", "una", "un", "de", "que", "para"},
+    "it": {"il", "la", "le", "e", "è", "non", "una", "un", "di", "che", "per", "con"},
+}
+
+# a BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs
+# (the common GPT-2-style pattern shape, public knowledge)
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+_WS_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[.,;:!?]")
+_WORD_RE = re.compile(r"[a-zà-ÿ]+")
+
+
+class TextStats:
+    """Actor-pool stage: append token/quality/lang/fingerprint columns."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.bpe = _BPE_RE
+        self.ws = _WS_RE
+        self.punct = _PUNCT_RE
+        self.word = _WORD_RE
+        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    # -- scalar kernels (applied per row over pandas Series) ----------------
+
+    def lang_of(self, words: list) -> str:
+        if not words:
+            return "und"
+        best, best_score = "und", 0.0
+        for lang, stops in self.profiles.items():
+            score = sum(1 for w in words if w in stops) / len(words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0.02 else "und"
+
+    def fingerprint_of(self, words: list, k: int = 5) -> int:
+        """Document fingerprint: min rolling (Rabin-Karp) hash over
+        word ``k``-grams; stable across runs/workers."""
+        if not words:
+            return 0
+        base = np.uint64(1099511628211)
+        hashes = np.fromiter(
+            (stable_hash64(w) for w in words), dtype=np.uint64, count=len(words)
+        )
+        if len(words) <= k:
+            acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for h in hashes:
+                    acc = acc * base + h
+            return int(acc >> np.uint64(1))
+        with np.errstate(over="ignore"):
+            # rolling hash of each k-window, vectorized: sum of h[i]*base^(k-1-j)
+            powers = np.array([base ** np.uint64(k - 1 - j) for j in range(k)], dtype=np.uint64)
+            n = len(hashes) - k + 1
+            windows = np.lib.stride_tricks.sliding_window_view(hashes, k)
+            grams = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        return int(grams.min() >> np.uint64(1))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col].fillna("")
+        stripped = text.str.strip()
+        batch["n_chars"] = text.str.len().astype("int64")
+        batch["n_tokens"] = np.where(
+            stripped.str.len() > 0, stripped.str.count(self.ws) + 1, 0
+        ).astype("int64")
+        batch["n_bpe_tokens"] = text.str.count(self.bpe).astype("int64")
+        n_punct = text.str.count(self.punct).astype("int64")
+        batch["punct_ratio"] = np.where(
+            batch["n_chars"] > 0, n_punct / batch["n_chars"], 0.0
+        )
+        words = text.str.lower().str.findall(self.word)
+        en = self.profiles["en"]
+        batch["stopword_ratio"] = words.map(
+            lambda ws: sum(1 for w in ws if w in en) / len(ws) if ws else 0.0
+        )
+        # quality: bounded length term × clean-punctuation term
+        batch["quality_score"] = np.minimum(1.0, batch["n_tokens"] / 100.0) * (
+            1.0 - batch["punct_ratio"]
+        )
+        batch["lang_pred"] = words.map(self.lang_of)
+        batch["fingerprint"] = words.map(self.fingerprint_of).astype("int64")
+        return batch
+
+
+def text_stats(ds, text_col: str = "text", concurrency=(2, 8), batch_size: int = 1024):
+    """Attach the TextStats columns to a Dataset."""
+    return ds.map_batches(
+        TextStats,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

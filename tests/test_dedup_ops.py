@@ -1,0 +1,156 @@
+"""Operator-quality tests: the dedup sketches and ANN must actually
+find planted duplicates/neighbours (the driver-table corpus has none,
+so these use purpose-built synthetic inputs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the storm gathers "
+    "slowly over the distant hills and the river keeps moving toward the sea "
+    "carrying leaves and branches from last night"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"document {i} " + "unique words " * 10 + str(i)})
+    # planted near-dups: 100/101 nearly identical, 102 identical to 100
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE.replace("lazy", "sleepy")})
+    rows.append({"doc_id": 102, "text": BASE})
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_keeps_min_id(near_dup_docs):
+    from pdf4py_ray.stages.dedup import exact_dedup_representatives
+
+    reps = set(r["doc_id"] for r in exact_dedup_representatives(near_dup_docs).take_all())
+    assert 100 in reps and 102 not in reps
+    assert len(reps) == 42  # 40 uniques + near-dup 101 + merged {100,102}
+
+
+def test_minhash_finds_near_dups(near_dup_docs):
+    from pdf4py_ray.stages.dedup import minhash_dup_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_dup_pairs(near_dup_docs, threshold=0.5).take_all()}
+    assert (100, 102) in pairs and pairs[(100, 102)] == 1.0
+    assert (100, 101) in pairs  # near-dup caught
+    assert all(a >= 100 for a, b in pairs)  # no false positives among uniques
+
+
+def test_simhash_finds_near_dups(near_dup_docs):
+    from pdf4py_ray.stages.dedup import simhash_candidates
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_candidates(near_dup_docs, max_hamming=6).take_all()}
+    assert pairs.get((100, 102)) == 0
+    assert (100, 101) in pairs
+
+
+def test_ngram_jaccard_verification(near_dup_docs):
+    from pdf4py_ray.stages.dedup import minhash_dup_pairs, ngram_jaccard_verify
+
+    pairs = minhash_dup_pairs(near_dup_docs, threshold=0.5)
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_verify(near_dup_docs, pairs).take_all()}
+    assert verified[(100, 102)] == 1.0
+    assert 0.7 < verified[(100, 101)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    rows = []
+    centers = rng.standard_normal((4, 32)) * 3
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.standard_normal(32) * 0.1
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    return rd.from_items(rows)
+
+
+def test_knn_brute_finds_cluster_members(clustered_vectors):
+    from pdf4py_ray.stages.similarity import knn_brute
+
+    res = knn_brute(clustered_vectors, k=5, num_queries=4).take_all()
+    by_query = {}
+    for r in res:
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q, neighbors in by_query.items():
+        assert len(neighbors) == 5
+        assert all(n % 4 == q % 4 for n in neighbors), (q, neighbors)
+
+
+def test_knn_lsh_recall_vs_brute(clustered_vectors):
+    from pdf4py_ray.stages.similarity import knn_brute, knn_lsh
+
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in knn_brute(clustered_vectors, k=5, num_queries=4).take_all()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in knn_lsh(clustered_vectors, k=5, num_queries=4).take_all()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.8, recall
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from pdf4py_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + rng.standard_normal(16) * 0.01).tolist()},
+        {"vec_id": 2, "embedding": rng.standard_normal(16).tolist()},
+    ]
+    ds = rd.from_items(rows)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(ds, threshold=0.95).take_all()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_textstats_columns(ray_session):
+    import ray.data as rd
+
+    from pdf4py_ray.stages.textstats import text_stats
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "The cat and the dog, in a house."},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "der hund und die katze ist nicht mit der maus"},
+        ]
+    )
+    rows = {r["doc_id"]: r for r in text_stats(ds, concurrency=1).take_all()}
+    r0 = rows[0]
+    assert r0["n_tokens"] == 8
+    assert r0["n_chars"] == 32
+    assert r0["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "de"
+    assert rows[1]["n_tokens"] == 0 and rows[1]["fingerprint"] == 0
+    assert rows[0]["fingerprint"] != rows[2]["fingerprint"]
+
+
+def test_media_stub_raises_without_deterministic():
+    from pdf4py_ray.stages.multimodal import DecodeMedia
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(deterministic=False).decode_one(b"\xff\xd8\xff...")
+
+
+def test_media_sniff():
+    from pdf4py_ray.stages.multimodal import sniff_media_format
+
+    assert sniff_media_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
+    assert sniff_media_format(b"\x89PNG\r\n") == "png"
+    assert sniff_media_format(b"plain") == "unknown"

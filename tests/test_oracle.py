@@ -1,0 +1,110 @@
+"""Pre-flight of the driver's correctness gate: run every ``queries()``
+entry and compare row-count + order-insensitive values against its
+``oracle_sql()`` DuckDB result (exact equality — the value-hash gate
+tolerates no float drift)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__ as mod
+
+    return mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def result_to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df.reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "q_pricing_summary",
+    "q_revenue_by_segment",
+    "q_orders_per_nation",
+    "q_customers_per_region",
+    "q_top_orders",
+    "q_revenue_filtered",
+    "q_distinct_event_types",
+    "q_daily_event_stats",
+    "q_user_sessions",
+    "d_exact_dedup",
+    "d_exact_dup_groups",
+    "d_embedding_dups",
+    "t_text_stats",
+    "s_knn_brute",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, entrymod, duck, name):
+    ray_df = normalize(result_to_pandas(entrymod.queries()[name](SF_DIR)))
+    sql_df = normalize(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        ray_df.columns, sql_df.columns)
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=True)
+
+
+def test_all_oracle_keys_exist_in_queries(entrymod):
+    q = set(entrymod.queries())
+    for key in entrymod.oracle_sql():
+        assert key in q
+
+
+ROWS_ONLY = [
+    "d_minhash_pairs",
+    "d_simhash_pairs",
+    "t_lang_id",
+    "t_fingerprints",
+    "s_knn_lsh",
+    "m_media_decode",
+    "m_frame_sample",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(ray_session, entrymod, name):
+    res = result_to_pandas(entrymod.queries()[name](SF_DIR))
+    assert res is not None
+    if name in ("t_lang_id", "t_fingerprints", "m_media_decode"):
+        assert len(res) > 0
+
+
+def test_entry_smoke(ray_session, entrymod):
+    ds = entrymod.entry()
+    df = result_to_pandas(ds)
+    assert len(df) > 0
+    assert set(["conv_id", "turn_idx", "kind", "extracted_text", "status"]) <= set(df.columns)
+    # stable sort by (conv_id, turn_idx)
+    key = list(zip(df["conv_id"], df["turn_idx"]))
+    assert key == sorted(key)
+    assert (df["status"] == "ok").sum() > 0
+
+
+def test_extract_turns_query(ray_session, entrymod):
+    df = result_to_pandas(entrymod.queries()["x_extract_turns"]("/root/testdata/sf0.001"))
+    assert len(df) > 0
+    assert (df["status"] == "error").sum() > 0  # corrupt fixtures surface
+    assert (df["kind"] == "pdf").sum() > 0

@@ -1,0 +1,141 @@
+"""End-to-end Ray pipeline tests, including the equality gate
+(FIXTURES §5): the distributed extraction must match a single-threaded
+reference-kernel run row for row under stable (conv_id, turn_idx)
+order."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def turns_table():
+    from pdf4py_ray.sources.transcripts import synth_transcripts
+
+    return synth_transcripts(SF_DIR, ray_data=False)
+
+
+def reference_extraction(turns: pa.Table) -> list:
+    """Single-threaded kernel run — the equality-gate oracle."""
+    from pdf4py_ray.stages.extract import ExtractTurns
+
+    ex = ExtractTurns()
+    rows = []
+    for row in turns.to_pylist():
+        kind, text, spans, n_objects, n_bytes, status, error = ex.extract_one(
+            row["text"] or "", row["tool"] or ""
+        )
+        rows.append(
+            {
+                "conv_id": row["conv_id"],
+                "turn_idx": row["turn_idx"],
+                "kind": kind,
+                "extracted_text": text,
+                "status": status,
+            }
+        )
+    rows.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    return rows
+
+
+def test_synthesis_deterministic(turns_table):
+    from pdf4py_ray.sources.transcripts import synth_transcripts
+
+    again = synth_transcripts(SF_DIR, ray_data=False)
+    assert turns_table.equals(again)
+    assert turns_table.schema.names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_payload_mix(turns_table):
+    from pdf4py_ray.stages.extract import classify_payload
+
+    kinds = {}
+    for row in turns_table.to_pylist():
+        k, _ = classify_payload(row["text"] or "", row["tool"] or "")
+        kinds[k] = kinds.get(k, 0) + 1
+    assert kinds.get("pdf", 0) > 0 and kinds.get("html", 0) > 0 and kinds.get("text", 0) > 0
+
+
+def test_equality_gate_pipeline_vs_kernel(ray_session, turns_table):
+    import ray.data as rd
+
+    from pdf4py_ray.pipelines.extract_pipeline import extraction_dataset, SORT_KEYS
+
+    expected = reference_extraction(turns_table)
+
+    ds = rd.from_arrow(turns_table)
+    out = extraction_dataset(ds, num_partitions=8, concurrency=2).sort(SORT_KEYS)
+    got = out.select_columns(["conv_id", "turn_idx", "kind", "extracted_text", "status"]).take_all()
+
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+        assert g["extracted_text"] == e["extracted_text"], (g["conv_id"], g["turn_idx"])
+        assert g["status"] == e["status"]
+
+
+def test_error_rows_do_not_poison(ray_session, turns_table):
+    import ray.data as rd
+
+    from pdf4py_ray.pipelines.extract_pipeline import extraction_dataset
+
+    ds = rd.from_arrow(turns_table)
+    out = extraction_dataset(ds, num_partitions=4, concurrency=2)
+    statuses = set(r["status"] for r in out.select_columns(["status"]).take_all())
+    assert "error" in statuses  # the corrupt payloads surfaced as rows
+    assert "ok" in statuses
+
+
+def test_spans_index_into_text(ray_session, turns_table):
+    import ray.data as rd
+
+    from pdf4py_ray.pipelines.extract_pipeline import extraction_dataset
+
+    ds = rd.from_arrow(turns_table.slice(0, 60))
+    for row in extraction_dataset(ds, num_partitions=4, concurrency=2).take_all():
+        text = row["extracted_text"]
+        for span in row["spans"] or []:
+            assert 0 <= span["start"] <= span["end"] <= len(text)
+
+
+def test_resumable_write_and_manifests(ray_session, tmp_path):
+    from pdf4py_ray.pipelines import checkpoint
+    from pdf4py_ray.pipelines.extract_pipeline import run_extraction
+
+    out_dir = str(tmp_path / "out")
+    run_extraction(SF_DIR, out_dir=out_dir, num_partitions=8, concurrency=2)
+    done = checkpoint.completed_partitions(out_dir)
+    assert done, "no manifests written"
+    m = checkpoint.read_manifest(out_dir, sorted(done)[0])
+    assert m["metrics"]["rows"] > 0
+    assert m["lineage"]["stages"][-1] == "ExtractTurns"
+    total_rows = sum(
+        checkpoint.read_manifest(out_dir, p)["metrics"]["rows"] for p in done
+    )
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    n_written = sum(1 for _ in written.to_table(columns=["status"]).column(0))
+    assert total_rows == n_written
+
+    # resume: all partitions complete → second run writes nothing new
+    import time
+
+    mtimes = {p: os.path.getmtime(checkpoint.partition_dir(out_dir, p) + "/_MANIFEST.json") for p in done}
+    run_extraction(SF_DIR, out_dir=out_dir, num_partitions=8, concurrency=2)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(checkpoint.partition_dir(out_dir, p) + "/_MANIFEST.json") == t
+
+
+def test_salted_partitioning_spreads_hot_conversation():
+    from pdf4py_ray.stages.partition import conv_partition
+
+    parts = {conv_partition("conv-00000000", t, 32, salt_turns=8) for t in range(28)}
+    assert len(parts) > 1  # long conversation spread over sub-partitions
+    parts_nosalt = {conv_partition("conv-00000000", t, 32, salt_turns=None) for t in range(28)}
+    assert len(parts_nosalt) == 1
