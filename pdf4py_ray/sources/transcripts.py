@@ -193,7 +193,13 @@ def synth_transcripts(sf_dir: str, ray_data=True):
     if ray_data:
         import ray.data as rd
 
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        # a single parquet file would otherwise land in one block and
+        # serialize the whole downstream actor pool — split the read
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=64,
+        )
         return docs.map_batches(_docs_to_turns_batch, batch_format="pyarrow", batch_size=64)
     import pyarrow.parquet as pq
 

@@ -64,6 +64,7 @@ def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 NUM_PERM = 64
 NUM_BANDS = 16
 SHINGLE_WORDS = 3
+COARSE_BUCKETS = 64  # coarse co-location groups for bucket-pair stages
 
 
 def _shingle_hashes(text: str, k: int = SHINGLE_WORDS) -> np.ndarray:
@@ -122,24 +123,38 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_size=256,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        group = group.sort_values(id_col).drop_duplicates(id_col)
-        ids = group[id_col].to_numpy()
-        sigs = np.stack(group["signature"].to_numpy())
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # millions of (band, band_hash) buckets would mean per-group
+        # task overhead; coarse-bucket them and group the fine keys
+        # with pandas inside each coarse group
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = bh ^ (band * np.uint64(0x9E3779B97F4A7C15))
+        bucket = (mixed % np.uint64(COARSE_BUCKETS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def bucket_pairs(coarse: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, est = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for j, e in enumerate(eq):
-                if e >= threshold:
-                    rows_a.append(int(ids[i]))
-                    rows_b.append(int(ids[i + 1 + j]))
-                    est.append(float(e))
+        for _, group in coarse.groupby(["band", "band_hash"], sort=False):
+            if len(group) < 2:
+                continue
+            group = group.sort_values(id_col).drop_duplicates(id_col)
+            ids = group[id_col].to_numpy()
+            sigs = np.stack(group["signature"].to_numpy())
+            for i in range(len(ids)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                for j, e in enumerate(eq):
+                    if e >= threshold:
+                        rows_a.append(int(ids[i]))
+                        rows_b.append(int(ids[i + 1 + j]))
+                        est.append(float(e))
         return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
     # a pair can surface from several bands — keep one row per pair
     from ray.data.aggregate import Max
@@ -200,27 +215,37 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                 rows["simhash"].append(f)
         return pa.table(rows)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        group = group.sort_values(id_col).drop_duplicates(id_col)
-        ids = group[id_col].to_numpy()
-        fps = group["simhash"].to_numpy().astype(np.uint64)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bv = batch["block_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        blk = batch["block"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = bv * np.uint64(0x9E3779B97F4A7C15) + blk
+        bucket = (mixed % np.uint64(COARSE_BUCKETS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def bucket_pairs(coarse: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, dist = [], [], []
-        for i in range(len(ids)):
-            x = fps[i + 1 :] ^ fps[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(ham <= max_hamming)[0]:
-                rows_a.append(int(ids[i]))
-                rows_b.append(int(ids[i + 1 + j]))
-                dist.append(int(ham[j]))
+        for _, group in coarse.groupby(["block", "block_val"], sort=False):
+            if len(group) < 2:
+                continue
+            group = group.sort_values(id_col).drop_duplicates(id_col)
+            ids = group[id_col].to_numpy()
+            fps_arr = group["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = fps_arr[i + 1 :] ^ fps_arr[i]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    rows_a.append(int(ids[i]))
+                    rows_b.append(int(ids[i + 1 + j]))
+                    dist.append(int(ham[j]))
         return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "hamming": dist})
 
     from ray.data.aggregate import Min
 
     pairs = (
         fps.map_batches(explode_blocks, batch_format="pyarrow")
-        .groupby(["block", "block_val"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
