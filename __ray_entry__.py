@@ -129,6 +129,25 @@ def _simhash_pairs(sf_dir: str):
     return simhash_candidates(read_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _ngram_jaccard(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        n=5, threshold=0.5, id_limit=256,
+    )
+
+
+def _ngram_verify(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import minhash_dup_pairs, ngram_jaccard_verify
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_dup_pairs(docs)
+    return ngram_jaccard_verify(docs, pairs).select_columns(["id_a", "id_b"])
+
+
 def _embedding_dups(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.dedup import embedding_dup_pairs
@@ -172,6 +191,15 @@ def _knn_brute(sf_dir: str):
 
     ds = knn_brute(read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
                    k=5, num_queries=8)
+    return ds.select_columns(["query_id", "neighbor_id"])
+
+
+def _knn_ivf(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.similarity import knn_ivf
+
+    ds = knn_ivf(read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                 k=5, num_queries=8)
     return ds.select_columns(["query_id", "neighbor_id"])
 
 
@@ -225,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_exact_dup_groups": _exact_dup_groups,
         "d_minhash_pairs": _minhash_pairs,
         "d_simhash_pairs": _simhash_pairs,
+        "d_ngram_jaccard": _ngram_jaccard,
+        "d_ngram_verify": _ngram_verify,
         "d_embedding_dups": _embedding_dups,
         # text analysis
         "t_text_stats": _text_stats,
@@ -233,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "s_knn_brute": _knn_brute,
         "s_knn_lsh": _knn_lsh,
+        "s_knn_ivf": _knn_ivf,
         # multimodal plumbing (stubbed decode)
         "m_media_decode": _media_decode,
         "m_frame_sample": _frame_sample,
@@ -307,6 +338,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups FROM (
                 SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1
             ) dup_groups
+        """,
+        "d_ngram_jaccard": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 256),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([substring(text, CAST(i AS INT), 5)
+                               FOR i IN range(1, greatest(1, length(text) - 4) + 1)]) AS gram
+                FROM docs
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+                FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(i.intersection AS DOUBLE)
+                       / (sa.n_grams + sb.n_grams - i.intersection) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.intersection AS DOUBLE)
+                      / (sa.n_grams + sb.n_grams - i.intersection) >= 0.5
         """,
         "d_embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

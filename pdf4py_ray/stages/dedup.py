@@ -67,6 +67,19 @@ SHINGLE_WORDS = 3
 COARSE_BUCKETS = 64  # coarse co-location groups for bucket-pair stages
 
 
+def _add_pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    """Coarse co-location key for (id_a, id_b) pair rows — a single
+    int64 groupby key; the fine multi-key combine happens in pandas
+    inside each group (Ray's multi-key aggregate pays per-group Python
+    overhead that dominates at high pair cardinality)."""
+    a = batch["id_a"].to_numpy(dtype=np.uint64)
+    b = batch["id_b"].to_numpy(dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = a * np.uint64(0x9E3779B97F4A7C15) + b
+    batch["pair_bucket"] = (mixed % np.uint64(COARSE_BUCKETS)).astype(np.int64)
+    return batch
+
+
 def _shingle_hashes(text: str, k: int = SHINGLE_WORDS) -> np.ndarray:
     words = (text or "").lower().split()
     if len(words) < k:
@@ -157,11 +170,19 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # a pair can surface from several bands — keep one row per pair
-    from ray.data.aggregate import Max
+    # (coarse pair bucket + pandas combine: Ray's multi-key aggregate
+    # has per-group overhead that dominates at high pair cardinality)
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.groupby(["id_a", "id_b"], sort=False)
+            .agg(est_jaccard=("est_jaccard", "max"))
+            .reset_index()
+        )
 
     return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+        pairs.map_batches(_add_pair_bucket, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
     )
 
 
@@ -240,7 +261,12 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                     dist.append(int(ham[j]))
         return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "hamming": dist})
 
-    from ray.data.aggregate import Min
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.groupby(["id_a", "id_b"], sort=False)
+            .agg(hamming=("hamming", "min"))
+            .reset_index()
+        )
 
     pairs = (
         fps.map_batches(explode_blocks, batch_format="pyarrow")
@@ -248,10 +274,106 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return (
+        pairs.map_batches(_add_pair_bucket, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- n-gram jaccard
+
+
+def char_grams(s: str, n: int = 5) -> set:
+    """Distinct character n-grams; a short string yields its single
+    prefix gram (matches the SQL oracle's substring semantics)."""
+    return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, threshold: float = 0.5,
+                        id_limit: int | None = None):
+    """Exact char-n-gram Jaccard pairs via a distributed inverted index.
+
+    Scale path (no quadratic all-pairs pass over text): per-doc
+    *distinct* gram hashes are exploded to (gram, doc_id, n_grams)
+    rows; a ``groupby(gram)`` emits one row per co-occurring pair;
+    ``groupby(id_a, id_b)`` counts rows = |A ∩ B|, and
+    |A ∪ B| = n_a + n_b − |A ∩ B| comes from the carried set sizes, so
+    Jaccard needs no second pass over the corpus. ``id_limit`` bounds
+    the candidate universe (the all-pairs semantics are only sensible
+    on a bounded or pre-filtered set; unbounded corpora should use
+    :func:`minhash_dup_pairs` + :func:`ngram_jaccard_verify`).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    if id_limit is not None:
+        ds = ds.filter(expr=f"{id_col} < {id_limit}")
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_gram, out_id, out_n = [], [], []
+        for doc_id, text in zip(ids, texts):
+            grams = char_grams(text or "", n)
+            for g in grams:
+                out_gram.append(stable_hash64(g) >> 1)
+                out_id.append(doc_id)
+                out_n.append(len(grams))
+        return pa.table({
+            "gram": pa.array(out_gram, type=pa.int64()),
+            id_col: pa.array(out_id, type=pa.int64()),
+            "n_grams": pa.array(out_n, type=pa.int64()),
+        })
+
+    def gram_pairs(coarse: pd.DataFrame) -> pd.DataFrame:
+        # vectorized inverted-index pair counting: a self-merge on gram
+        # (C-speed) instead of a Python loop over gram groups
+        df = coarse[["gram", id_col, "n_grams"]].drop_duplicates(["gram", id_col])
+        m = df.merge(df, on="gram", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "intersection": pd.Series(dtype="int64"),
+                                 "n_a": pd.Series(dtype="int64"),
+                                 "n_b": pd.Series(dtype="int64")})
+        out = (
+            m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)
+            .agg(intersection=("gram", "size"),
+                 n_a=("n_grams_a", "first"), n_b=("n_grams_b", "first"))
+            .reset_index()
+        )
+        out.columns = ["id_a", "id_b", "intersection", "n_a", "n_b"]
+        return out
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        gram = batch["gram"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (gram % np.uint64(COARSE_BUCKETS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def combine_and_finish(group: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            group.groupby(["id_a", "id_b"], sort=False)
+            .agg(intersection=("intersection", "sum"),
+                 n_a=("n_a", "max"), n_b=("n_b", "max"))
+            .reset_index()
+        )
+        inter = agg["intersection"].to_numpy(dtype=np.int64)
+        union = agg["n_a"].to_numpy(dtype=np.int64) + agg["n_b"].to_numpy(dtype=np.int64) - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        out = agg[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[jac >= threshold]
+
+    return (
+        ds.map_batches(explode_grams, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gram_pairs, batch_format="pandas")
+        .map_batches(_add_pair_bucket, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(combine_and_finish, batch_format="pandas")
+    )
 
 
 def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "doc_id",

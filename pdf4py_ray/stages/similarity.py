@@ -85,6 +85,78 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(NUM_PLANES))).sum(axis=1).astype(np.int64)
 
 
+# ---------------------------------------------------------------- IVF
+
+IVF_SAMPLE = 2048
+
+
+def _kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on an (already normalized) sample.
+    Runs on the driver over a bounded sample — never the full corpus."""
+    rng = np.random.RandomState(seed)
+    n = len(sample)
+    n_clusters = min(n_clusters, n)
+    cents = sample[rng.choice(n, size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cents[c] = v / norm
+    return cents
+
+
+def knn_ivf(ds, k: int = 5, num_queries: int = 8, n_clusters: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF ANN: coarse k-means centroids from a driver-side sample
+    (broadcast once), each corpus vector routed to its nearest
+    centroid, each query scanning only its ``nprobe`` nearest cells.
+    Same local-top-k → tiny global reduce shape as :func:`knn_brute`;
+    at scale the centroid assignment keys a hash partition so a cell's
+    candidates are co-located."""
+    import ray
+
+    q_ids, q_mat = query_matrix(ds, num_queries, id_col, vec_col)
+    sample_rows = ds.limit(IVF_SAMPLE).take_all()
+    sample = _normalized([r[vec_col] for r in sample_rows])
+    cents = _kmeans_centroids(sample, n_clusters)
+    # per query: the nprobe closest cells
+    q_cells = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    cell_to_queries: dict = {}
+    for qi, cells in zip(q_ids, q_cells):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(int(qi))
+    ref = ray.put((q_ids, q_mat, cents, cell_to_queries))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, centroids, probe_cells = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalized(batch[vec_col])
+        cells = np.argmax(mat @ centroids.T, axis=1)
+        q_index = {int(q): i for i, q in enumerate(qi)}
+        out_q, out_n, out_c = [], [], []
+        for j in range(len(ids)):
+            for qid in probe_cells.get(int(cells[j]), ()):
+                if ids[j] == qid:
+                    continue
+                out_q.append(qid)
+                out_n.append(int(ids[j]))
+                out_c.append(float(qm[q_index[qid]] @ mat[j]))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+
+    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=1024)
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
 def knn_lsh(ds, k: int = 5, num_queries: int = 8, probes: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding"):
     """Sign-LSH bucketed ANN: corpus bucketed by hyperplane signs, each

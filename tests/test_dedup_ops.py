@@ -64,6 +64,30 @@ def test_ngram_jaccard_verification(near_dup_docs):
     assert 0.7 < verified[(100, 101)] < 1.0
 
 
+def test_ngram_jaccard_pairs_inverted_index(near_dup_docs):
+    """The distributed (no-candidate-set) path must agree with direct
+    set computation on the planted dups."""
+    from pdf4py_ray.stages.dedup import char_grams, ngram_jaccard_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(near_dup_docs, threshold=0.5).take_all()}
+    assert got[(100, 102)] == 1.0
+    # every reported pair matches the direct set computation exactly
+    texts = {r["doc_id"]: r["text"] for r in near_dup_docs.take_all()}
+    for (a, b), jac in got.items():
+        ga, gb = char_grams(texts[a]), char_grams(texts[b])
+        assert jac == len(ga & gb) / len(ga | gb), (a, b)
+    assert (100, 101) in got and 0.7 < got[(100, 101)] < 1.0
+
+
+def test_ngram_jaccard_id_limit(near_dup_docs):
+    from pdf4py_ray.stages.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(near_dup_docs, threshold=0.5, id_limit=100).take_all()
+    assert got  # filler docs share boilerplate, so pairs exist below the limit
+    assert all(r["id_a"] < 100 and r["id_b"] < 100 for r in got)
+
+
 @pytest.fixture(scope="module")
 def clustered_vectors(ray_session):
     import ray.data as rd
@@ -98,6 +122,17 @@ def test_knn_lsh_recall_vs_brute(clustered_vectors):
     lsh = {(r["query_id"], r["neighbor_id"])
            for r in knn_lsh(clustered_vectors, k=5, num_queries=4).take_all()}
     recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.8, recall
+
+
+def test_knn_ivf_recall_vs_brute(clustered_vectors):
+    from pdf4py_ray.stages.similarity import knn_brute, knn_ivf
+
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in knn_brute(clustered_vectors, k=5, num_queries=4).take_all()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in knn_ivf(clustered_vectors, k=5, num_queries=4).take_all()}
+    recall = len(brute & ivf) / len(brute)
     assert recall >= 0.8, recall
 
 
