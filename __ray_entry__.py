@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pricing_summary": rel.pricing_summary,
         "q_revenue_by_segment": rel.revenue_by_segment,
         "q_orders_per_nation": rel.orders_per_nation,
+        "q_orders_per_nation_native": rel.orders_per_nation_native,
         "q_customers_per_region": rel.customers_per_region,
         "q_top_orders": rel.top_orders,
         "q_revenue_filtered": rel.revenue_filtered,
@@ -294,6 +295,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q_orders_per_nation": """
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "q_orders_per_nation_native": """
             SELECT c_nationkey,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
                    CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -127,9 +127,88 @@ def revenue_by_segment(sf_dir: str):
     )
 
 
+def hash_join(left, right, on: str, right_on: str,
+              left_schema: pa.Schema, right_schema: pa.Schema,
+              num_buckets: int = 64):
+    """Distributed inner hash join as a bucket shuffle: both sides are
+    tagged with ``hash(key) % num_buckets``, unioned (columns of the
+    other side padded with typed nulls so the Arrow schema unifies),
+    co-located with ONE single-int64-key ``groupby``, and merged
+    per-bucket with a vectorized pandas merge. Column names of the two
+    sides must be disjoint. This is the engine's large⨝large path —
+    the native ``Dataset.join`` (see :func:`orders_per_nation_native`)
+    carries multi-second fixed actor-pool overhead per partition in
+    Ray 2.49, while this shape pays only the one shuffle it needs."""
+    left_names = [f.name for f in left_schema]
+    right_names = [f.name for f in right_schema]
+    assert not (set(left_names) & set(right_names)), "join sides must not share names"
+    unified = list(left_schema) + list(right_schema)
+
+    def tagger(key: str, own: pa.Schema, side: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            keys = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                bucket = ((keys * np.uint64(0x9E3779B97F4A7C15))
+                          % np.uint64(num_buckets)).astype(np.int64)
+            cols, names = [], []
+            for f in unified:
+                names.append(f.name)
+                if f.name in own.names:
+                    cols.append(batch[f.name])
+                else:
+                    cols.append(pa.nulls(n, type=f.type))
+            names += ["__bucket", "__side"]
+            cols += [pa.array(bucket, type=pa.int64()),
+                     pa.array(np.full(n, side, dtype=np.int8), type=pa.int8())]
+            return pa.table(dict(zip(names, cols)))
+
+        return tag
+
+    tagged = left.map_batches(tagger(on, left_schema, 0), batch_format="pyarrow").union(
+        right.map_batches(tagger(right_on, right_schema, 1), batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as _pc
+
+        lhs = group.filter(_pc.equal(group["__side"], 0)).select(left_names).to_pandas()
+        rhs = group.filter(_pc.equal(group["__side"], 1)).select(right_names).to_pandas()
+        return lhs.merge(rhs, left_on=on, right_on=right_on)
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def orders_per_nation(sf_dir: str):
-    """orders ⨝ customer with the *native* Dataset hash join, then a
-    groupby — covers Dataset.join."""
+    """orders ⨝ customer via the engine's bucket-shuffle
+    :func:`hash_join`, then per-batch partial aggregation → groupby."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    o_schema = _projected_schema(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    c_schema = _projected_schema(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, "o_custkey", "c_custkey", o_schema, c_schema)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["price_cents"] = np.floor(batch["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        return batch.groupby("c_nationkey", as_index=False).agg(
+            n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum")
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+def orders_per_nation_native(sf_dir: str):
+    """Same query through the *native* ``Dataset.join`` — kept for API
+    coverage; see :func:`hash_join` for why it is not the default."""
     from ray.data.aggregate import Count, Sum
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -144,13 +223,20 @@ def orders_per_nation(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=4,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
     return joined.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"), Sum("price_cents", alias_name="revenue_cents")
     )
+
+
+def _projected_schema(sf_dir: str, table: str, columns: list) -> pa.Schema:
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(f"{sf_dir}/{table}.parquet")
+    return pa.schema([full.field(c) for c in columns])
 
 
 def customers_per_region(sf_dir: str):

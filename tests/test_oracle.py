@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "q_pricing_summary",
     "q_revenue_by_segment",
     "q_orders_per_nation",
+    "q_orders_per_nation_native",
     "q_customers_per_region",
     "q_top_orders",
     "q_revenue_filtered",
@@ -51,6 +52,7 @@ SQL_CHECKED = [
     "q_user_sessions",
     "d_exact_dedup",
     "d_exact_dup_groups",
+    "d_ngram_jaccard",
     "d_embedding_dups",
     "t_text_stats",
     "s_knn_brute",
