@@ -29,7 +29,14 @@ if _REPO_ROOT not in sys.path:
 def _ship_package_by_value() -> None:
     """Make the library importable inside Ray workers even when the
     driver process was launched from another working directory: ship
-    every ``pdf4py_ray`` module by value through cloudpickle."""
+    every ``pdf4py_ray`` module by value through cloudpickle.
+
+    Benchmarks set PDF4PY_RAY_NO_BYVALUE=1 to skip this: by-value
+    serialization re-ships module sources with every task/actor
+    (~6 s on the sf0.1 headline) and is only needed when workers
+    cannot import the package from disk."""
+    if os.environ.get("PDF4PY_RAY_NO_BYVALUE"):
+        return
     try:
         # Ray serializes with its *vendored* cloudpickle — register there
         from ray import cloudpickle

@@ -45,7 +45,8 @@ LONG_CONV_EVERY = 50
 LONG_CONV_EXTRA_TURNS = 24
 CORRUPT_EVERY = 29
 
-PDF_VARIANTS = ("classic", "xrefstream", "objstm", "flate", "lzw", "multiline")
+PDF_VARIANTS = ("classic", "xrefstream", "objstm", "flate", "lzw", "multiline",
+                "enc_rc4", "enc_aesv2")
 
 
 def _sanitize(text: str, limit: int = 200) -> str:
@@ -83,6 +84,10 @@ def make_doc_pdf(text: str, variant: str) -> bytes:
         w.add({"Type": "Pages", "Kids": [p_ref], "Count": 1}, num=40)
         root = w.add({"Type": "Catalog", "Pages": pages_ref})
         return w.tobytes(root)
+    if variant == "enc_rc4":
+        return pdfgen.encrypted_pdf(cfm="V2", text=text)
+    if variant == "enc_aesv2":
+        return pdfgen.encrypted_pdf(cfm="AESV2", text=text)
     if variant == "multiline":
         lines = _words_to_lines(text)
         body = bytearray(b"BT /F1 12 Tf 14 TL 72 712 Td ")
@@ -119,24 +124,35 @@ def make_doc_html(text: str, link_farm: bool) -> str:
 
 
 def payload_plan(doc_id: int) -> tuple:
-    """(payload_kind, variant) for a document — the synthesis contract."""
+    """(payload_kind, variant) for a document — the synthesis contract.
+
+    Covers all eight structural PDF variants (incl. RC4 and AES-V2
+    encrypted docs, opened with the empty user password like the
+    reference's ``tests/encrypted_pdfs`` corpus), two HTML shapes, and
+    plain prose; every 29th doc is a truncated PDF (error-path row)."""
     if doc_id % CORRUPT_EVERY == 7:
         return ("pdf_corrupt", "classic")
-    slot = doc_id % 9
-    if slot < 6:
+    slot = doc_id % 11
+    if slot < 8:
         return ("pdf", PDF_VARIANTS[slot])
-    if slot == 6:
+    if slot == 8:
         return ("html", "article")
-    if slot == 7:
+    if slot == 9:
         return ("html", "link_farm")
     return ("text", "plain")
 
 
-def synth_turn_rows_for_doc(doc_id: int, text: str) -> list:
-    """All turn rows of the conversation derived from one document."""
-    conv_id = f"conv-{doc_id:08d}"
+def synth_turn_rows_for_doc(doc_id: int, text: str, rep: int = 0) -> list:
+    """All turn rows of the conversation derived from one document.
+
+    ``rep`` > 0 derives an extra independent conversation from the same
+    document (bench scaling runs need a compute-bound input larger than
+    the sf directory provides); rep=0 keeps the original naming so all
+    goldens are unchanged.
+    """
+    conv_id = f"conv-{doc_id:08d}" if rep == 0 else f"conv-{doc_id:08d}-r{rep:02d}"
     safe = _sanitize(text)
-    t0 = _EPOCH + timedelta(seconds=doc_id * 60)
+    t0 = _EPOCH + timedelta(seconds=doc_id * 60 + rep)
 
     def row(idx, role, body, tool=""):
         return {
@@ -175,38 +191,69 @@ def synth_turn_rows_for_doc(doc_id: int, text: str) -> list:
     return rows
 
 
-def _docs_to_turns_batch(batch: pa.Table) -> pa.Table:
+def _docs_to_turns_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     rows: list = []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        rows.extend(synth_turn_rows_for_doc(doc_id, text or ""))
+        for rep in range(repeat):
+            rows.extend(synth_turn_rows_for_doc(doc_id, text or "", rep))
     return pa.Table.from_pylist(rows, schema=TURN_SCHEMA)
 
 
-def synth_transcripts(sf_dir: str, ray_data=True):
+def synth_transcripts(sf_dir: str, ray_data=True, repeat: int = 1):
     """The transcript turn table for a scale-factor directory.
 
     With ``ray_data=True`` returns a lazy ``ray.data.Dataset`` (the
     synthesis itself runs distributed as a ``map_batches`` stage);
     otherwise a single ``pyarrow.Table`` built in-process (test oracle
     path — FIXTURES §5 requires a single-threaded reference run).
+    ``repeat`` multiplies the corpus with independent conversations
+    (used by bench scaling runs to reach a compute-bound regime).
     """
     if ray_data:
+        import ray
         import ray.data as rd
 
-        # a single parquet file would otherwise land in one block and
-        # serialize the whole downstream actor pool — split the read
-        docs = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            override_num_blocks=64,
-        )
-        return docs.map_batches(_docs_to_turns_batch, batch_format="pyarrow", batch_size=64)
+        from ..config import apply_engine_defaults
+
+        apply_engine_defaults()
+        # The documents table is small (the "small side"): read it ONCE
+        # on the driver, ship it to the object store ONCE (ray.put),
+        # and drive synthesis from a cheap descriptor Dataset — each
+        # unit covers (rep, doc-chunk). Splitting the parquet read
+        # instead would make every task re-decompress the single row
+        # group (~0.2 s × n_tasks of pure waste). Workers fetch the
+        # broadcast table zero-copy from shared memory.
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n_docs = len(docs)
+        total_convs = n_docs * repeat
+        n_units = min(1024, max(64, total_convs // 600))
+        docs_ref = ray.put(docs)
+
+        def synth_units(batch: pa.Table) -> pa.Table:
+            table = ray.get(docs_ref)
+            rows: list = []
+            for unit in batch["id"].to_pylist():
+                # unit → contiguous conv range [lo, hi) over rep-major order
+                lo = unit * total_convs // n_units
+                hi = (unit + 1) * total_convs // n_units
+                for conv in range(lo, hi):
+                    rep, idx = divmod(conv, n_docs)
+                    doc_id = table["doc_id"][idx].as_py()
+                    text = table["text"][idx].as_py() or ""
+                    rows.extend(synth_turn_rows_for_doc(doc_id, text, rep))
+            return pa.Table.from_pylist(rows, schema=TURN_SCHEMA)
+
+        units = rd.range(n_units, override_num_blocks=n_units)
+        return units.map_batches(synth_units, batch_format="pyarrow", batch_size=1)
     import pyarrow.parquet as pq
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows: list = []
     for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
-        rows.extend(synth_turn_rows_for_doc(doc_id, text or ""))
+        for rep in range(repeat):
+            rows.extend(synth_turn_rows_for_doc(doc_id, text or "", rep))
     return pa.Table.from_pylist(rows, schema=TURN_SCHEMA)
 
 
@@ -214,4 +261,7 @@ def read_table(sf_dir: str, name: str, columns=None):
     """Column-pruned scan of one of the driver tables."""
     import ray.data as rd
 
+    from ..config import apply_engine_defaults
+
+    apply_engine_defaults()
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)

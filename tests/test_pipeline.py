@@ -132,6 +132,28 @@ def test_resumable_write_and_manifests(ray_session, tmp_path):
         assert os.path.getmtime(checkpoint.partition_dir(out_dir, p) + "/_MANIFEST.json") == t
 
 
+def test_materialize_and_extract_from_parquet(ray_session, tmp_path):
+    """The production-shaped path (turn Parquet in) must agree with the
+    in-memory synthesis path row for row."""
+    from pdf4py_ray.pipelines.extract_pipeline import (
+        extraction_from_parquet,
+        materialize_turns,
+        run_extraction,
+    )
+
+    turns_dir = materialize_turns(SF_DIR, str(tmp_path / "turns"))
+    # idempotent: second call is a no-op (done marker)
+    assert materialize_turns(SF_DIR, turns_dir) == turns_dir
+
+    via_parquet = extraction_from_parquet(
+        turns_dir, num_partitions=8, concurrency=2
+    ).select_columns(["conv_id", "turn_idx", "extracted_text", "status"]).take_all()
+    via_memory = run_extraction(
+        SF_DIR, out_dir=None, num_partitions=8, concurrency=2
+    ).select_columns(["conv_id", "turn_idx", "extracted_text", "status"]).take_all()
+    assert via_parquet == via_memory
+
+
 def test_salted_partitioning_spreads_hot_conversation():
     from pdf4py_ray.stages.partition import conv_partition
 
