@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_per_nation_native": rel.orders_per_nation_native,
         "q_customers_per_region": rel.customers_per_region,
         "q_top_orders": rel.top_orders,
+        "q_top_orders_per_segment": rel.top_orders_per_segment,
+        "q_region_nation_names": rel.region_nation_names,
         "q_revenue_filtered": rel.revenue_filtered,
         "q_distinct_event_types": rel.distinct_event_types,
         "q_daily_event_stats": rel.daily_event_stats,
@@ -325,6 +327,23 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
             FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
+        """,
+        "q_top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, price_cents, rnk FROM (
+                SELECT c_mktsegment, o_orderkey,
+                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY floor(o_totalprice*100 + 0.5) DESC, o_orderkey
+                       ) AS rnk
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) ranked WHERE rnk <= 3
+        """,
+        "q_region_nation_names": """
+            SELECT DISTINCT name FROM (
+                SELECT r_name AS name FROM region
+                UNION ALL SELECT n_name AS name FROM nation
+            ) u
         """,
         "q_revenue_filtered": """
             SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_cents

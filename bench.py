@@ -143,7 +143,7 @@ def main() -> None:
             results[name] = round(bench_query(q[name]), 3)
 
     out = {
-        "metric": "transcript extraction wall-time at sf (turns incl. synthesis)",
+        "metric": "transcript extraction wall-time at sf (parquet turns in, extracted+sorted out)",
         "value": results["extract_turns"],
         "unit": "sec",
         "queries": results,

@@ -352,6 +352,58 @@ def daily_event_stats(sf_dir: str):
     )
 
 
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Window-rank shape: top-k orders by price within each customer
+    segment (rank() OVER (PARTITION BY segment ORDER BY price DESC)).
+    Segment lookup is a broadcast; the rank itself is a per-group
+    sort inside ``groupby(segment).map_groups`` — the partitioned
+    window pattern."""
+    import ray
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    lookup = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    ref = ray.put(lookup)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        seg_map = ray.get(ref)
+        batch["c_mktsegment"] = batch["o_custkey"].map(seg_map)
+        batch["price_cents"] = np.floor(batch["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        out = batch[["c_mktsegment", "o_orderkey", "price_cents"]]
+        # per-batch combiner: only each batch's local top-k survives
+        return (
+            out.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+            .groupby("c_mktsegment", sort=False)
+            .head(k)
+        )
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        orders.map_batches(tag, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .map_groups(global_topk, batch_format="pandas")
+    )
+
+
+def region_nation_names(sf_dir: str):
+    """Set-op shape: UNION ALL of two scans + DISTINCT (a shuffle via
+    ``Dataset.unique``)."""
+    regions = read_table(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    nations = read_table(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    names = sorted(regions.union(nations).unique("name"))
+    return pd.DataFrame({"name": names})
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user ordered gap analysis via
     groupby(user).map_groups (the ordered-log pattern)."""

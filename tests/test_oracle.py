@@ -46,6 +46,8 @@ SQL_CHECKED = [
     "q_orders_per_nation_native",
     "q_customers_per_region",
     "q_top_orders",
+    "q_top_orders_per_segment",
+    "q_region_nation_names",
     "q_revenue_filtered",
     "q_distinct_event_types",
     "q_daily_event_stats",
