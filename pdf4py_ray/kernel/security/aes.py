@@ -63,6 +63,11 @@ def _build_tables():
 
 SBOX, INV_SBOX, RCON = _build_tables()
 
+# precomputed GF(2^8) multiplication tables for the MixColumns
+# coefficients — turns the per-byte _gmul loop (the kernel's hottest
+# path when decrypting AES PDFs) into byte-table lookups
+_MUL = {c: bytes(_gmul(x, c) for x in range(256)) for c in (1, 2, 3, 9, 11, 13, 14)}
+
 _BLOCK = 16
 
 
@@ -98,16 +103,14 @@ def _inv_shift_rows(s: list) -> list:
 
 def _mix_columns(s: list, inverse: bool) -> list:
     coef = (14, 11, 13, 9) if inverse else (2, 3, 1, 1)
+    m0, m1, m2, m3 = (_MUL[c] for c in coef)
     out = [0] * 16
-    for c in range(4):
-        col = s[4 * c : 4 * c + 4]
-        for r in range(4):
-            out[4 * c + r] = (
-                _gmul(col[0], coef[(0 - r) % 4])
-                ^ _gmul(col[1], coef[(1 - r) % 4])
-                ^ _gmul(col[2], coef[(2 - r) % 4])
-                ^ _gmul(col[3], coef[(3 - r) % 4])
-            )
+    for c in range(0, 16, 4):
+        a, b, d, e = s[c], s[c + 1], s[c + 2], s[c + 3]
+        out[c] = m0[a] ^ m1[b] ^ m2[d] ^ m3[e]
+        out[c + 1] = m3[a] ^ m0[b] ^ m1[d] ^ m2[e]
+        out[c + 2] = m2[a] ^ m3[b] ^ m0[d] ^ m1[e]
+        out[c + 3] = m1[a] ^ m2[b] ^ m3[d] ^ m0[e]
     return out
 
 

@@ -73,6 +73,19 @@ _HEX_VALUE = {c: int(chr(c), 16) for c in b"0123456789abcdefABCDEF"}
 # "endobj" before "obj".
 _KEYWORDS = (b"endobj", b"obj", b"trailer", b"xref", b"startxref", b"endstream")
 
+# first-byte gate over the fixed literals/keywords, preserving the
+# reference's try order within each first byte (literals before
+# keywords: "stream" before "startxref", "true" before "trailer")
+_FIXED_BY_BYTE = {
+    0x74: ((b"true", "true"), (b"trailer", "kw")),
+    0x66: ((b"false", "false"),),
+    0x73: ((b"stream", "stream"), (b"startxref", "kw")),
+    0x6E: ((b"null", "null"),),
+    0x65: ((b"endobj", "kw"), (b"endstream", "kw")),
+    0x6F: ((b"obj", "kw"),),
+    0x78: ((b"xref", "kw"),),
+}
+
 _ESCAPE_MAP = {
     ord("n"): 0x0A,
     ord("r"): 0x0D,
@@ -178,9 +191,12 @@ class Tokenizer:
 
         buf = self.buf
         self.pos = _SKIP_RE.match(buf, self.pos).end()
-        if self.pos >= self.n or _TRAILING_COMMENT_RE.match(buf, self.pos):
+        if self.pos >= self.n:
             raise StopIteration
         c = buf[self.pos]
+        # only an unterminated trailing comment can leave '%' here
+        if c == 0x25 and _TRAILING_COMMENT_RE.match(buf, self.pos):
+            raise StopIteration
 
         if c == 0x28:  # (
             return self._scan_literal_string()
@@ -202,23 +218,17 @@ class Tokenizer:
         if c in (0x2B, 0x2D, 0x2E):  # + - .
             return self._scan_number(leading_digit=False)
 
-        # fixed literals, in the reference's dispatch order
-        if buf.startswith(b"true", self.pos):
-            self.pos += 4
-            return True
-        if buf.startswith(b"false", self.pos):
-            self.pos += 5
-            return False
-        if buf.startswith(b"stream", self.pos):
-            self.pos += 6
-            return self._scan_stream_start()
-        if buf.startswith(b"null", self.pos):
-            self.pos += 4
-            return None
-        for kw in _KEYWORDS:
-            if buf.startswith(kw, self.pos):
-                self.pos += len(kw)
-                return Keyword(kw)
+        # fixed literals/keywords, reference dispatch order per first byte
+        fixed = _FIXED_BY_BYTE.get(c)
+        if fixed:
+            for word, action in fixed:
+                if buf.startswith(word, self.pos):
+                    self.pos += len(word)
+                    if action == "kw":
+                        return Keyword(word)
+                    if action == "stream":
+                        return self._scan_stream_start()
+                    return {"true": True, "false": False, "null": None}[action]
 
         if c == 0x5B:  # [
             self.pos += 1
