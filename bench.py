@@ -173,7 +173,9 @@ def scaling() -> None:
     criterion is evidenced by the production shape.
     """
     here = os.path.abspath(__file__)
-    repeat = os.environ.get("BENCH_REPEAT", "96")
+    # sized so extraction CPU dominates fixed overhead at 32 CPUs
+    # (~8.6k turns/s/core kernel → ~4.3M turns ≈ 500 core-seconds)
+    repeat = os.environ.get("BENCH_REPEAT", "192")
 
     # materialize the turn-table parquet once in the parent so neither
     # timed child pays corpus-synthesis cost

@@ -399,14 +399,11 @@ def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "do
             texts[row[id_col]] = row[text_col] or ""
     ref = ray.put(texts)
 
-    def grams(s: str) -> set:
-        return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
-
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
         jac = []
         for a, b in zip(batch["id_a"], batch["id_b"]):
-            ga, gb = grams(lookup.get(a, "")), grams(lookup.get(b, ""))
+            ga, gb = char_grams(lookup.get(a, ""), n), char_grams(lookup.get(b, ""), n)
             union = len(ga | gb)
             jac.append(len(ga & gb) / union if union else 0.0)
         batch["jaccard"] = jac
