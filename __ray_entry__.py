@@ -86,7 +86,8 @@ def _extract_turns(sf_dir: str):
 
     ds = run_extraction(sf_dir, out_dir=None, num_partitions=16, concurrency=(1, 8))
     return ds.select_columns(
-        ["conv_id", "turn_idx", "kind", "extracted_text", "status", "n_objects", "n_bytes"]
+        ["conv_id", "turn_idx", "kind", "extracted_text", "spans", "status",
+         "n_objects", "n_bytes"]
     )
 
 
