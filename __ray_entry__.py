@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_filtered": rel.revenue_filtered,
         "q_distinct_event_types": rel.distinct_event_types,
         "q_daily_event_stats": rel.daily_event_stats,
+        "q_trailing_event_avg": rel.trailing_event_avg,
         "q_user_sessions": rel.user_sessions,
         # dedup family
         "d_exact_dedup": _exact_dedup,
@@ -357,6 +358,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, day
+        """,
+        "q_trailing_event_avg": """
+            SELECT event_type, day,
+                   AVG(sum_cents) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS avg_cents
+            FROM (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+                FROM events GROUP BY event_type, day
+            ) daily
         """,
         "q_user_sessions": """
             SELECT user_id,

@@ -404,6 +404,41 @@ def region_nation_names(sf_dir: str):
     return pd.DataFrame({"name": names})
 
 
+def trailing_event_avg(sf_dir: str, window: int = 3):
+    """Sliding (trailing rows-frame) window: per event_type, the
+    ``window``-day moving average of the daily value sum —
+    AVG(...) OVER (PARTITION BY type ORDER BY day ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW). Daily sums are the partial aggregate
+    (exact integer cents); the rolling frame runs per-group over the
+    tiny per-type day series, so the shuffle moves only daily rows."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        batch["value_cents"] = np.floor(batch["value"] * 100.0 + 0.5).astype("int64")
+        return batch.groupby(["event_type", "day"], as_index=False).agg(
+            sum_cents=("value_cents", "sum")
+        )
+
+    daily = (
+        ds.map_batches(bucket, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+    def rolling(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("day").reset_index(drop=True)
+        sums = g["sum_cents"].rolling(window, min_periods=1).sum().astype("int64")
+        counts = g["sum_cents"].rolling(window, min_periods=1).count().astype("int64")
+        # single IEEE division of exact integers — matches SQL AVG
+        g["avg_cents"] = sums.to_numpy() / counts.to_numpy()
+        return g[["event_type", "day", "avg_cents"]]
+
+    return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user ordered gap analysis via
     groupby(user).map_groups (the ordered-log pattern)."""

@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "q_revenue_filtered",
     "q_distinct_event_types",
     "q_daily_event_stats",
+    "q_trailing_event_avg",
     "q_user_sessions",
     "d_exact_dedup",
     "d_exact_dup_groups",
