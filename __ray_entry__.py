@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_per_nation": rel.orders_per_nation,
         "q_orders_per_nation_native": rel.orders_per_nation_native,
         "q_customers_per_region": rel.customers_per_region,
+        "q_local_supplier_revenue": rel.local_supplier_revenue,
+        "q_parts_by_brand": rel.parts_by_brand,
         "q_top_orders": rel.top_orders,
         "q_top_orders_per_segment": rel.top_orders_per_segment,
         "q_region_nation_names": rel.region_nation_names,
@@ -329,6 +331,23 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": """
             SELECT o_orderkey, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
             FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
+        """,
+        "q_local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "q_parts_by_brand": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
+            FROM part GROUP BY p_brand
         """,
         "q_top_orders_per_segment": """
             SELECT c_mktsegment, o_orderkey, price_cents, rnk FROM (

@@ -352,6 +352,72 @@ def daily_event_stats(sf_dir: str):
     )
 
 
+def local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share a nation — a 5-way join. The one large⨝large edge
+    (lineitem ⨝ orders) goes through the bucket-shuffle
+    :func:`hash_join`; customer, supplier and nation are broadcast
+    lookups (`ray.put` once, read per batch)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = {r["c_custkey"]: r["c_nationkey"]
+            for r in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()}
+    supp = {r["s_suppkey"]: r["s_nationkey"]
+            for r in read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()}
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).take_all()}
+    ref = ray.put((cust, supp, nation))
+
+    line = read_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    l_schema = _projected_schema(sf_dir, "lineitem",
+                                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    o_schema = _projected_schema(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(line, orders, "l_orderkey", "o_orderkey", l_schema, o_schema)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c_map, s_map, n_map = ray.get(ref)
+        c_nat = batch["o_custkey"].map(c_map)
+        s_nat = batch["l_suppkey"].map(s_map)
+        hit = batch[c_nat == s_nat].copy()
+        if not len(hit):
+            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                 "revenue_cents": pd.Series(dtype="int64")})
+        hit["n_name"] = s_nat[c_nat == s_nat].map(n_map)
+        hit["revenue_cents"] = np.floor(
+            hit["l_extendedprice"] * (1.0 - hit["l_discount"]) * 100.0 + 0.5
+        ).astype("int64")
+        return hit.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+def parts_by_brand(sf_dir: str):
+    """Simple dimensional aggregate over the part table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "price_cents", _cents(batch["p_retailprice"])
+        ).drop_columns(["p_retailprice"])
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"), Sum("price_cents", alias_name="retail_cents"))
+    )
+
+
 def top_orders_per_segment(sf_dir: str, k: int = 3):
     """Window-rank shape: top-k orders by price within each customer
     segment (rank() OVER (PARTITION BY segment ORDER BY price DESC)).

@@ -45,6 +45,8 @@ SQL_CHECKED = [
     "q_orders_per_nation",
     "q_orders_per_nation_native",
     "q_customers_per_region",
+    "q_local_supplier_revenue",
+    "q_parts_by_brand",
     "q_top_orders",
     "q_top_orders_per_segment",
     "q_region_nation_names",
