@@ -105,6 +105,31 @@ def _extract_metrics(sf_dir: str):
     )
 
 
+def _extract_write(sf_dir: str):
+    """Exercise the resumable sink: partitioned parquet + per-partition
+    manifests into a scratch dir; returns the manifest metrics table
+    (deterministic under the fixed hash partitioning)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pdf4py_ray.pipelines import checkpoint
+    from pdf4py_ray.pipelines.extract_pipeline import run_extraction
+
+    out_dir = tempfile.mkdtemp(prefix="pdf4py_ray_write_")
+    try:
+        run_extraction(sf_dir, out_dir=out_dir, num_partitions=16, concurrency=(1, 8))
+        rows = []
+        for part_id in sorted(checkpoint.completed_partitions(out_dir)):
+            m = checkpoint.read_manifest(out_dir, part_id)
+            rows.append({"part_id": part_id, "rows": m["metrics"]["rows"],
+                         "errors": m["metrics"]["errors"]})
+        return pd.DataFrame(rows)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _exact_dedup(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.dedup import exact_dedup_representatives
@@ -246,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (non-SQL: synthesized payload corpus)
         "x_extract_turns": _extract_turns,
         "x_extract_metrics": _extract_metrics,
+        "x_extract_write": _extract_write,
         # relational engine layer (SURVEY §2.6)
         "q_pricing_summary": rel.pricing_summary,
         "q_revenue_by_segment": rel.revenue_by_segment,
