@@ -218,6 +218,20 @@ def _fingerprints(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def _train_test_split(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import train_test_split_counts
+
+    return train_test_split_counts(read_table(sf_dir, "documents", ["doc_id"]))
+
+
+def _shuffled_sample(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import shuffled_sample
+
+    return shuffled_sample(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _knn_brute(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.similarity import knn_brute
@@ -300,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_text_stats": _text_stats,
         "t_lang_id": _lang_id,
         "t_fingerprints": _fingerprints,
+        "t_train_test_split": _train_test_split,
+        "t_shuffled_sample": _shuffled_sample,
         # similarity search
         "s_knn_brute": _knn_brute,
         "s_knn_lsh": _knn_lsh,
@@ -483,6 +499,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(array_length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
                         ELSE 0.0 END) AS quality_score
             FROM documents
+        """,
+        "t_train_test_split": """
+            SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                        WHEN doc_id % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY split
         """,
         "s_knn_brute": """
             SELECT query_id, neighbor_id FROM (

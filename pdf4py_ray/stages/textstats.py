@@ -17,6 +17,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..functions.hashing import stable_hash64
 
@@ -118,3 +119,30 @@ def text_stats(ds, text_col: str = "text", concurrency=(2, 8), batch_size: int =
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def train_test_split_counts(ds, id_col: str = "doc_id", test_mod: int = 10,
+                            train_below: int = 8):
+    """Deterministic id-based train/val/test assignment (the standard
+    shard-stable split for training corpora: membership is a pure
+    function of the id, so re-runs and resumes agree) → per-split
+    counts. id % 10 ∈ [0,8) train, 8 val, 9 test."""
+    from ray.data.aggregate import Count
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mod = batch[id_col].to_numpy(zero_copy_only=False) % test_mod
+        split = np.where(mod < train_below, "train",
+                         np.where(mod == train_below, "val", "test"))
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def shuffled_sample(ds, n: int = 100, seed: int = 42):
+    """Seeded global ``random_shuffle`` (the pre-epoch shuffle of a
+    training pipeline — an all-to-all) + take-n."""
+    return ds.random_shuffle(seed=seed).limit(n)

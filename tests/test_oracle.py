@@ -60,6 +60,7 @@ SQL_CHECKED = [
     "d_ngram_jaccard",
     "d_embedding_dups",
     "t_text_stats",
+    "t_train_test_split",
     "s_knn_brute",
 ]
 
