@@ -130,6 +130,7 @@ def main() -> None:
         for name in (
             "q_pricing_summary",
             "q_orders_per_nation",
+            "q_local_supplier_revenue",
             "q_daily_event_stats",
             "d_exact_dedup",
             "d_minhash_pairs",
