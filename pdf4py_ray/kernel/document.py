@@ -242,7 +242,13 @@ class PdfDocument:
             data = self.buf[data_start : data_start + length]
             if d.get("Type") != "XRef" and self.security is not None:
                 data = self.security.decrypt_stream(data, d, obj_id)
-            return decode_chain(d, data)
+            try:
+                return decode_chain(d, data)
+            except Exception as e:
+                # reference parity: ANY decoder failure surfaces as a
+                # syntax error (``parser.py:692-695`` wraps bare
+                # ``except Exception``, including its own error types)
+                raise PdfSyntaxError("Error while decoding data: " + str(e))
 
         return length, read
 
