@@ -381,8 +381,10 @@ def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "do
     """Exact char-n-gram Jaccard for candidate pairs.
 
     The candidate set is small by construction (LSH output), so the
-    texts of involved ids are broadcast via ``ray.put`` and the exact
-    verification runs as one vectorized stage over the pairs.
+    candidate *ids* are broadcast once (``ray.put``), a distributed
+    semi-join filters the corpus down to just the involved documents
+    (never a driver-side corpus scan), and only those few texts are
+    collected and re-broadcast for the vectorized pair verification.
     """
     import ray
 
@@ -392,11 +394,19 @@ def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "do
         import ray.data as rd
 
         return rd.from_items([])
-    involved_set = set(involved)
-    texts = {}
-    for row in ds.select_columns([id_col, text_col]).iter_rows():
-        if row[id_col] in involved_set:
-            texts[row[id_col]] = row[text_col] or ""
+    ids_ref = ray.put(np.array(involved, dtype=np.int64))
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(ids, wanted)))
+
+    matched = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(semi_join, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: ≤ 2×|pairs| rows survive the semi-join
+    texts = {row[id_col]: row[text_col] or "" for row in matched}
     ref = ray.put(texts)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -416,38 +426,87 @@ def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "do
 
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                        vec_col: str = "embedding"):
+                        vec_col: str = "embedding", num_blocks: int = 8):
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    The normalized matrix is broadcast once (``ray.put``); each batch
-    computes a (batch × all) float64 matmul — the brute-force baseline.
-    Scale path: LSH-bucket the vectors first (see similarity.knn_lsh)
-    so each bucket's matmul is local.
+    EXACT all-pairs via triangle block partitioning — no driver-side
+    materialization, no recall loss (an LSH pre-filter would drop true
+    pairs whose vectors straddle a hyperplane). Each vector is assigned
+    a block ``b`` and replicated to the ``B`` pair-groups
+    ``{(min(b,j), max(b,j))}``; a ``groupby`` over the ``B(B+1)/2``
+    group keys runs one vectorized matmul per group between its two
+    block sides, so every pair is compared in exactly one group.
+    Communication is O(N·B·dim) and per-task memory O((N/B)·dim);
+    size ``num_blocks`` ~ sqrt(cluster parallelism) so the quadratic
+    work (inherent to exact all-pairs) spreads across the cluster.
     """
-    import ray
+    B = int(num_blocks)
 
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    ref = ray.put((ids, mat))
+    def explode_groups(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = batch[vec_col].to_pylist()
+        with np.errstate(over="ignore"):
+            blocks = (
+                ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                % np.uint64(B)
+            ).astype(np.int64)
+        out_g, out_id, out_blk, out_vec = [], [], [], []
+        for i in range(len(ids)):
+            b = int(blocks[i])
+            for j in range(B):
+                gi, gj = (b, j) if b <= j else (j, b)
+                out_g.append(gi * B + gj)
+                out_id.append(int(ids[i]))
+                out_blk.append(b)
+                out_vec.append(vecs[i])
+        return pa.table({
+            "pair_group": pa.array(out_g, type=pa.int64()),
+            id_col: pa.array(out_id, type=pa.int64()),
+            "block": pa.array(out_blk, type=pa.int64()),
+            vec_col: pa.array(out_vec),
+        })
 
-    def batch_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(ref)
-        out_a, out_b, out_cos = [], [], []
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-        n = np.linalg.norm(vecs, axis=1)
-        n[n == 0] = 1.0
-        vecs = vecs / n[:, None]
-        sims = vecs @ all_mat.T
-        for row_i, my_id in enumerate(batch[id_col]):
-            hits = np.nonzero((sims[row_i] >= threshold) & (all_ids > my_id))[0]
-            for h in hits:
-                out_a.append(int(my_id))
-                out_b.append(int(all_ids[h]))
-                out_cos.append(float(sims[row_i, h]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_cos})
+    def _norm(mat: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return mat / norms[:, None]
 
-    return ds.map_batches(batch_pairs, batch_format="pandas", batch_size=512)
+    empty = pd.DataFrame({
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "cosine": pd.Series(dtype="float64"),
+    })
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = int(g["pair_group"].iloc[0])
+        gi, gj = divmod(key, B)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        blocks = g["block"].to_numpy(dtype=np.int64)
+        mat = _norm(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+        if gi == gj:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            ids_i, ids_j, cos = ids[ii], ids[jj], sims[ii, jj]
+        else:
+            mask = blocks == gi
+            if not mask.any() or mask.all():
+                return empty
+            mi, mj = mat[mask], mat[~mask]
+            idi, idj = ids[mask], ids[~mask]
+            sims = mi @ mj.T
+            ii, jj = np.nonzero(sims >= threshold)
+            ids_i, ids_j, cos = idi[ii], idj[jj], sims[ii, jj]
+        if not len(ids_i):
+            return empty
+        return pd.DataFrame({
+            "id_a": np.minimum(ids_i, ids_j).astype(np.int64),
+            "id_b": np.maximum(ids_i, ids_j).astype(np.int64),
+            "cosine": cos.astype(np.float64),
+        })
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(explode_groups, batch_format="pyarrow")
+        .groupby("pair_group")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
