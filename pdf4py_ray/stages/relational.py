@@ -94,31 +94,59 @@ def pricing_summary(sf_dir: str):
 
 # ------------------------------------------------------------------ joins
 
+# A broadcast side above this row count would be an unguarded
+# driver-side materialization (at sf100 the customer table is 15M
+# rows); such joins fall back to the bucket-shuffle hash_join.
+BROADCAST_ROW_LIMIT = 2_000_000
 
-def revenue_by_segment(sf_dir: str):
-    """orders ⨝ customer via *broadcast* (small side shipped once with
-    ray.put, looked up per batch — no shuffle)."""
+
+def join_auto(large, small, on: str, right_on: str,
+              large_schema: pa.Schema, small_schema: pa.Schema,
+              broadcast_limit: int = BROADCAST_ROW_LIMIT,
+              rows_hint: int | None = None):
+    """Inner join that picks its physical plan by the small side's
+    *measured* size: a broadcast map-join (small side collected once,
+    ``ray.put``, vectorized pandas merge per batch — no shuffle) when
+    it fits under ``broadcast_limit`` rows, else the bucket-shuffle
+    :func:`hash_join`. ``small.count()`` is metadata-cheap on raw
+    parquet reads."""
     import ray
+
+    if small.count() <= broadcast_limit:
+        small_df = small.to_pandas()
+        ref = ray.put(small_df)
+
+        def bj(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref), left_on=on, right_on=right_on)
+
+        return large.map_batches(bj, batch_format="pandas", batch_size=65536)
+    return hash_join(large, small, on, right_on, large_schema, small_schema,
+                     rows_hint=rows_hint)
+
+
+def revenue_by_segment(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT):
+    """orders ⨝ customer — broadcast when customer fits under the
+    guard, bucket-shuffle hash_join otherwise (see :func:`join_auto`)."""
     from ray.data.aggregate import Sum
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
-    lookup = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    ref = ray.put(lookup)
-
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = join_auto(
+        orders, cust, "o_custkey", "c_custkey",
+        _projected_schema(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _projected_schema(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        broadcast_limit,
+    )
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        seg_map = ray.get(ref)
-        batch["c_mktsegment"] = batch["o_custkey"].map(seg_map)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch["price_cents"] = np.floor(batch["o_totalprice"] * 100.0 + 0.5).astype("int64")
-        out = (
+        return (
             batch.groupby("c_mktsegment", as_index=False)
             .agg(revenue_cents=("price_cents", "sum"), n_orders=("price_cents", "size"))
         )
-        return out
 
     return (
-        orders.map_batches(tag, batch_format="pandas", batch_size=65536)
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("c_mktsegment")
         .aggregate(
             Sum("revenue_cents", alias_name="revenue_cents"),
@@ -127,9 +155,21 @@ def revenue_by_segment(sf_dir: str):
     )
 
 
+_JOIN_TARGET_ROWS_PER_BUCKET = 250_000  # pandas merge comfortably in-heap
+
+
+def _auto_buckets(rows_hint: int) -> int:
+    """Bucket count scaled to input size: ~250k rows per bucket,
+    clamped to [16, 4096] and rounded to a power of two so the key
+    space divides evenly."""
+    want = max(1, rows_hint // _JOIN_TARGET_ROWS_PER_BUCKET)
+    return int(min(4096, max(16, 1 << (want - 1).bit_length())))
+
+
 def hash_join(left, right, on: str, right_on: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
-              num_buckets: int = 64):
+              num_buckets: int | None = None, rows_hint: int | None = None,
+              salt: int = 1):
     """Distributed inner hash join as a bucket shuffle: both sides are
     tagged with ``hash(key) % num_buckets``, unioned (columns of the
     other side padded with typed nulls so the Arrow schema unifies),
@@ -138,11 +178,30 @@ def hash_join(left, right, on: str, right_on: str,
     sides must be disjoint. This is the engine's large⨝large path —
     the native ``Dataset.join`` (see :func:`orders_per_nation_native`)
     carries multi-second fixed actor-pool overhead per partition in
-    Ray 2.49, while this shape pays only the one shuffle it needs."""
+    Ray 2.49, while this shape pays only the one shuffle it needs.
+
+    ``num_buckets`` defaults to :func:`_auto_buckets` over
+    ``rows_hint`` (pass the known input cardinality — e.g. parquet
+    metadata row counts — to avoid an extra counting pass; with
+    neither given, both sides are ``count()``-ed, which is
+    metadata-cheap on raw parquet reads but executes derived
+    pipelines).
+
+    ``salt > 1`` bounds per-bucket size under key skew: each *left*
+    (probe) row is routed to one of ``salt`` sub-buckets of its key's
+    bucket, and every *right* (build) row is replicated into all
+    ``salt`` sub-buckets — so one hot key's probe rows spread over
+    ``salt`` merge tasks at the cost of ``salt``× build-side shuffle
+    volume. Put the large skewed side on the left."""
     left_names = [f.name for f in left_schema]
     right_names = [f.name for f in right_schema]
     assert not (set(left_names) & set(right_names)), "join sides must not share names"
+    assert salt >= 1
     unified = list(left_schema) + list(right_schema)
+    if num_buckets is None:
+        if rows_hint is None:
+            rows_hint = left.count() + right.count()
+        num_buckets = _auto_buckets(rows_hint)
 
     def tagger(key: str, own: pa.Schema, side: int):
         def tag(batch: pa.Table) -> pa.Table:
@@ -158,6 +217,16 @@ def hash_join(left, right, on: str, right_on: str,
                     cols.append(batch[f.name])
                 else:
                     cols.append(pa.nulls(n, type=f.type))
+            if salt > 1:
+                if side == 0:  # probe rows fan out across sub-buckets
+                    sub = np.arange(n, dtype=np.int64) % salt
+                    bucket = bucket * salt + sub
+                else:  # build rows replicate into every sub-bucket
+                    reps = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
+                    cols = [c.take(reps) for c in cols]
+                    tiled = np.tile(np.arange(salt, dtype=np.int64), n)
+                    bucket = np.repeat(bucket, salt) * salt + tiled
+                    n = n * salt
             names += ["__bucket", "__side"]
             cols += [pa.array(bucket, type=pa.int64()),
                      pa.array(np.full(n, side, dtype=np.int8), type=pa.int8())]
@@ -239,31 +308,49 @@ def _projected_schema(sf_dir: str, table: str, columns: list) -> pa.Schema:
     return pa.schema([full.field(c) for c in columns])
 
 
-def customers_per_region(sf_dir: str):
-    """3-way dimension lookup (nation, region broadcast) → counts."""
+def customers_per_region(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT):
+    """3-way dimension join (nation ⨝ region pre-composed when both
+    fit under the broadcast guard; hash_join fallback otherwise)."""
     import ray
     from ray.data.aggregate import Sum
 
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).take_all()
-    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
-    nat_to_region = {
-        r["n_nationkey"]: next(
-            g["r_name"] for g in region if g["r_regionkey"] == r["n_regionkey"]
-        )
-        for r in nation
-    }
-    ref = ray.put(nat_to_region)
-
     cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    nation_ds = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region_ds = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        batch["r_name"] = batch["c_nationkey"].map(lookup)
-        return batch.groupby("r_name", as_index=False).agg(n_customers=("r_name", "size"))
+    if nation_ds.count() <= broadcast_limit and region_ds.count() <= broadcast_limit:
+        # compose the two tiny dims into one lookup, broadcast once
+        dim = nation_ds.to_pandas().merge(
+            region_ds.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
+        )[["n_nationkey", "r_name"]]
+        ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["r_name"] = batch["c_nationkey"].map(ray.get(ref))
+            return batch.groupby("r_name", as_index=False).agg(
+                n_customers=("r_name", "size")
+            )
+
+        tagged = cust.map_batches(tag, batch_format="pandas", batch_size=65536)
+    else:
+        c_schema = _projected_schema(sf_dir, "customer", ["c_nationkey"])
+        n_schema = _projected_schema(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+        r_schema = _projected_schema(sf_dir, "region", ["r_regionkey", "r_name"])
+        j1 = hash_join(cust, nation_ds, "c_nationkey", "n_nationkey", c_schema, n_schema)
+        j2 = hash_join(
+            j1, region_ds, "n_regionkey", "r_regionkey",
+            pa.schema(list(c_schema) + list(n_schema)), r_schema,
+        )
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby("r_name", as_index=False).agg(
+                n_customers=("r_name", "size")
+            )
+
+        tagged = j2.map_batches(partial, batch_format="pandas", batch_size=65536)
 
     return (
-        cust.map_batches(tag, batch_format="pandas", batch_size=65536)
-        .groupby("r_name")
+        tagged.groupby("r_name")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
     )
 
@@ -352,22 +439,14 @@ def daily_event_stats(sf_dir: str):
     )
 
 
-def local_supplier_revenue(sf_dir: str):
+def local_supplier_revenue(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT):
     """TPC-H Q5 shape: revenue by nation where customer and supplier
     share a nation — a 5-way join. The one large⨝large edge
     (lineitem ⨝ orders) goes through the bucket-shuffle
-    :func:`hash_join`; customer, supplier and nation are broadcast
-    lookups (`ray.put` once, read per batch)."""
-    import ray
+    :func:`hash_join`; customer, supplier and nation attach through
+    :func:`join_auto` (broadcast while they fit under the guard,
+    shuffle join beyond it — at sf100 customer is 15M rows)."""
     from ray.data.aggregate import Sum
-
-    cust = {r["c_custkey"]: r["c_nationkey"]
-            for r in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()}
-    supp = {r["s_suppkey"]: r["s_nationkey"]
-            for r in read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()}
-    nation = {r["n_nationkey"]: r["n_name"]
-              for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).take_all()}
-    ref = ray.put((cust, supp, nation))
 
     line = read_table(sf_dir, "lineitem",
                       columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -376,26 +455,45 @@ def local_supplier_revenue(sf_dir: str):
                                  ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     o_schema = _projected_schema(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = hash_join(line, orders, "l_orderkey", "o_orderkey", l_schema, o_schema)
+    lo_schema = pa.schema(list(l_schema) + list(o_schema))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    c_schema = _projected_schema(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    s_schema = _projected_schema(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    n_schema = _projected_schema(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    j2 = join_auto(joined, cust, "o_custkey", "c_custkey",
+                   lo_schema, c_schema, broadcast_limit)
+    j3 = join_auto(j2, supp, "l_suppkey", "s_suppkey",
+                   pa.schema(list(lo_schema) + list(c_schema)), s_schema,
+                   broadcast_limit)
+
+    nat_type = n_schema.field("n_nationkey").type
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        c_map, s_map, n_map = ray.get(ref)
-        c_nat = batch["o_custkey"].map(c_map)
-        s_nat = batch["l_suppkey"].map(s_map)
-        hit = batch[c_nat == s_nat].copy()
+        hit = batch[batch["c_nationkey"] == batch["s_nationkey"]].copy()
         if not len(hit):
-            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
-                                 "revenue_cents": pd.Series(dtype="int64")})
-        hit["n_name"] = s_nat[c_nat == s_nat].map(n_map)
+            return pd.DataFrame({
+                "s_nationkey": pd.Series(dtype=batch["s_nationkey"].dtype),
+                "revenue_cents": pd.Series(dtype="int64"),
+            })
         hit["revenue_cents"] = np.floor(
             hit["l_extendedprice"] * (1.0 - hit["l_discount"]) * 100.0 + 0.5
         ).astype("int64")
-        return hit.groupby("n_name", as_index=False).agg(
+        return hit.groupby("s_nationkey", as_index=False).agg(
             revenue_cents=("revenue_cents", "sum")
         )
 
+    # per-batch pre-aggregation by nationkey BEFORE the nation join —
+    # only ~|nations| rows per batch reach the final (tiny) join+groupby
+    pre = j3.map_batches(partial, batch_format="pandas", batch_size=65536)
+    pre_schema = pa.schema([("s_nationkey", nat_type), ("revenue_cents", pa.int64())])
+    j4 = join_auto(pre, nation, "s_nationkey", "n_nationkey",
+                   pre_schema, n_schema, broadcast_limit)
     return (
-        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("n_name")
+        j4.groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
 
@@ -418,23 +516,24 @@ def parts_by_brand(sf_dir: str):
     )
 
 
-def top_orders_per_segment(sf_dir: str, k: int = 3):
+def top_orders_per_segment(sf_dir: str, k: int = 3,
+                           broadcast_limit: int = BROADCAST_ROW_LIMIT):
     """Window-rank shape: top-k orders by price within each customer
     segment (rank() OVER (PARTITION BY segment ORDER BY price DESC)).
-    Segment lookup is a broadcast; the rank itself is a per-group
+    The segment attach goes through :func:`join_auto` (broadcast under
+    the guard, shuffle join above); the rank itself is a per-group
     sort inside ``groupby(segment).map_groups`` — the partitioned
     window pattern."""
-    import ray
-
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
-    lookup = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    ref = ray.put(lookup)
-
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = join_auto(
+        orders, cust, "o_custkey", "c_custkey",
+        _projected_schema(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        _projected_schema(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        broadcast_limit,
+    )
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        seg_map = ray.get(ref)
-        batch["c_mktsegment"] = batch["o_custkey"].map(seg_map)
         batch["price_cents"] = np.floor(batch["o_totalprice"] * 100.0 + 0.5).astype("int64")
         out = batch[["c_mktsegment", "o_orderkey", "price_cents"]]
         # per-batch combiner: only each batch's local top-k survives
@@ -451,7 +550,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
         return g
 
     return (
-        orders.map_batches(tag, batch_format="pandas", batch_size=65536)
+        joined.map_batches(tag, batch_format="pandas", batch_size=65536)
         .groupby("c_mktsegment")
         .map_groups(global_topk, batch_format="pandas")
     )
@@ -505,15 +604,33 @@ def trailing_event_avg(sf_dir: str, window: int = 3):
     return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Sessionization: per-user ordered gap analysis via
-    groupby(user).map_groups (the ordered-log pattern)."""
+def user_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
+    """Sessionization: per-user ordered gap analysis.
+
+    One Ray group per *user* would pay the executor's per-group task
+    overhead (~40 ms/group measured here) — ruinous at 10⁹ users.
+    Instead users are coarse-bucketed (``hash(user_id) % num_buckets``
+    — one int64 shuffle key, all of a user's events co-located), and
+    the per-user sessionization runs VECTORIZED inside each bucket:
+    one sort + one ``diff`` + one pandas groupby-sum per bucket."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds().fillna(0.0)
-        n = int((gaps > gap_minutes * 60).sum()) + 1
-        return pd.DataFrame({"user_id": [group["user_id"].iloc[0]], "n_sessions": [n]})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((uid * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds().fillna(0.0)
+        breaks = (gaps > gap_minutes * 60).astype("int64")
+        out = breaks.groupby(g["user_id"], sort=False).sum() + 1
+        return out.rename("n_sessions").reset_index()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )

@@ -68,3 +68,87 @@ def test_hash_join_rejects_shared_names(ray_session, sides):
             _ds(ray_session, left), _ds(ray_session, left),
             "l_key", "l_key", left.schema, left.schema,
         )
+
+
+def test_hash_join_salted_skew_bounded(ray_session):
+    """90%-one-key skew: with salt=8 the hot key's probe rows spread
+    over 8 sub-buckets, bounding per-merge-task rows; results match
+    the unsalted join exactly."""
+    import numpy as np
+
+    from pdf4py_ray.stages.relational import hash_join
+
+    n = 2000
+    keys = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 50).astype(np.int64)
+    left = pa.table({"l_key": keys, "l_val": np.arange(n, dtype=np.int64)})
+    right = pa.table({
+        "r_key": pa.array(list(range(50)), type=pa.int64()),
+        "r_val": pa.array([v * 100 for v in range(50)], type=pa.int64()),
+    })
+    kw = dict(num_buckets=8)
+    plain = hash_join(_ds(ray_session, left, 4), _ds(ray_session, right),
+                      "l_key", "r_key", left.schema, right.schema, **kw).to_pandas()
+    salted = hash_join(_ds(ray_session, left, 4), _ds(ray_session, right),
+                       "l_key", "r_key", left.schema, right.schema, salt=8, **kw).to_pandas()
+    key_fn = lambda df: sorted(map(tuple, df[["l_key", "l_val", "r_val"]].itertuples(index=False)))
+    assert key_fn(plain) == key_fn(salted)
+
+    # per-bucket bound: replicate the tagging logic and histogram the
+    # probe side — the hot key (~1800 rows) must not land whole in one
+    # sub-bucket
+    h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(8)
+    salted_bucket = h.astype(np.int64) * 8 + (np.arange(n, dtype=np.int64) % 8)
+    counts = np.bincount(salted_bucket, minlength=64)
+    assert counts.max() <= (keys == 7).sum() // 8 + (n - (keys == 7).sum())
+
+
+def test_hash_join_auto_buckets():
+    from pdf4py_ray.stages.relational import _auto_buckets
+
+    assert _auto_buckets(1_000) == 16            # floor
+    assert _auto_buckets(100_000_000) == 512     # ~250k rows/bucket, pow2
+    assert _auto_buckets(10**12) == 4096         # ceiling
+
+
+def test_broadcast_guard_falls_back_to_hash_join(ray_session):
+    """join_auto with a tiny broadcast_limit must produce the same
+    rows through the hash_join path as through the broadcast path."""
+    from pdf4py_ray.stages.relational import join_auto
+
+    left = pa.table({
+        "l_key": pa.array([1, 2, 2, 3, 5], type=pa.int64()),
+        "l_val": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    right = pa.table({
+        "r_key": pa.array([2, 3, 3, 4], type=pa.int64()),
+        "r_val": pa.array([20, 30, 31, 40], type=pa.int64()),
+    })
+    results = []
+    for limit in (1_000_000, 1):  # broadcast path, then forced fallback
+        out = join_auto(
+            _ds(ray_session, left), _ds(ray_session, right),
+            "l_key", "r_key", left.schema, right.schema,
+            broadcast_limit=limit,
+        ).to_pandas()
+        results.append(sorted(map(tuple, out[["l_key", "l_val", "r_val"]].itertuples(index=False))))
+    assert results[0] == results[1]
+    assert results[0] == sorted([(2, "b", 20), (2, "c", 20), (3, "d", 30), (3, "d", 31)])
+
+
+def test_guarded_queries_match_on_forced_fallback(ray_session):
+    """The four guarded driver queries return identical results with
+    the broadcast path and with broadcast_limit=0 (hash_join path)."""
+    from pdf4py_ray.stages import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    for fn, sort_cols in [
+        (R.revenue_by_segment, ["c_mktsegment"]),
+        (R.customers_per_region, ["r_name"]),
+        (R.top_orders_per_segment, ["c_mktsegment", "rnk"]),
+        (R.local_supplier_revenue, ["n_name"]),
+    ]:
+        a = fn(sf).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        b = fn(sf, broadcast_limit=0).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
