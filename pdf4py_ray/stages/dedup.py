@@ -90,7 +90,8 @@ def _shingle_hashes(text: str, k: int = SHINGLE_WORDS) -> np.ndarray:
 
 
 class MinHashSignatures:
-    """Actor stage: text → (doc_id, 64-perm signature, band rows)."""
+    """Actor stage: text → ONE sketch row per doc
+    (doc_id, 64-perm signature, 16 band hashes)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
         self.text_col = text_col
@@ -100,21 +101,16 @@ class MinHashSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_bandhash, out_sig = [], [], [], []
-        for doc_id, text in zip(ids, texts):
+        out_sig, out_bands = [], []
+        for text in texts:
             sig = minhash_signature(_shingle_hashes(text), self.a, self.b)
-            sig_list = sig.astype(np.int64).tolist()
-            for band, bh in enumerate(band_hashes(sig, NUM_BANDS)):
-                out_id.append(doc_id)
-                out_band.append(band)
-                out_bandhash.append(bh)
-                out_sig.append(sig_list)
+            out_sig.append(sig.astype(np.int64).tolist())
+            out_bands.append([int(bh) for bh in band_hashes(sig, NUM_BANDS)])
         return pa.table(
             {
-                self.id_col: pa.array(out_id, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_bandhash, type=pa.int64()),
+                self.id_col: pa.array(ids, type=pa.int64()),
                 "signature": pa.array(out_sig, type=pa.list_(pa.int64())),
+                "band_hashes": pa.array(out_bands, type=pa.list_(pa.int64())),
             }
         )
 
@@ -123,18 +119,38 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, concurrency=(2, 8)):
     """Near-duplicate pairs via MinHash-LSH.
 
-    shingle→minhash→band rows → ``groupby(band, band_hash)`` buckets →
-    candidate pairs → Jaccard *estimated from the signatures already in
-    the bucket* (no second corpus pass — the scale path).
+    Shuffle-volume design: the 64-int64 signature is NOT duplicated
+    into every band row. One sketch row per doc (signature + 16 band
+    hashes) is materialized once in the object store; the band
+    exploding stage ships only (doc_id, band, band_hash) triples
+    (~20× lighter than band rows carrying signatures); candidate
+    pairs are deduplicated while still signature-free; then each pair
+    picks up its two signatures through two keyed bucket-shuffle
+    joins against the sketch table (2× sketch shuffle instead of 16×)
+    and the Jaccard estimate is one vectorized comparison per pair.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
-    bands = ds.map_batches(
+    from .relational import hash_join
+
+    sketches = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=256,
-    )
+    ).materialize()  # sketch table: ~650 B/doc, consumed by two branches
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = batch["band_hashes"].to_pylist()
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, NUM_BANDS), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
+                             type=pa.int32()),
+            "band_hash": pa.array(np.asarray(bh, dtype=np.int64).ravel(),
+                                  type=pa.int64()),
+        })
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # millions of (band, band_hash) buckets would mean per-group
@@ -148,42 +164,61 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
     def bucket_pairs(coarse: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, est = [], [], []
-        for _, group in coarse.groupby(["band", "band_hash"], sort=False):
-            if len(group) < 2:
-                continue
-            group = group.sort_values(id_col).drop_duplicates(id_col)
-            ids = group[id_col].to_numpy()
-            sigs = np.stack(group["signature"].to_numpy())
-            for i in range(len(ids)):
-                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                for j, e in enumerate(eq):
-                    if e >= threshold:
-                        rows_a.append(int(ids[i]))
-                        rows_b.append(int(ids[i + 1 + j]))
-                        est.append(float(e))
-        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
+        # vectorized per-coarse-group: self-merge each fine LSH bucket
+        df = coarse[["band", "band_hash", id_col]].drop_duplicates()
+        m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        return out
 
-    pairs = (
-        bands.map_batches(add_bucket, batch_format="pyarrow")
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["id_a", "id_b"])
+
+    candidates = (
+        sketches.map_batches(explode_bands, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # a pair can surface from several bands — keep one row per pair
-    # (coarse pair bucket + pandas combine: Ray's multi-key aggregate
-    # has per-group overhead that dominates at high pair cardinality)
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.groupby(["id_a", "id_b"], sort=False)
-            .agg(est_jaccard=("est_jaccard", "max"))
-            .reset_index()
-        )
-
-    return (
-        pairs.map_batches(_add_pair_bucket, batch_format="pandas")
+        .map_batches(_add_pair_bucket, batch_format="pandas")
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
     )
+
+    sig_type = pa.list_(pa.int64())
+    cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             ("pair_bucket", pa.int64())])
+
+    def sig_side(suffix: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                f"sid_{suffix}": batch[id_col],
+                f"sig_{suffix}": batch["signature"],
+            })
+        schema = pa.schema([(f"sid_{suffix}", pa.int64()), (f"sig_{suffix}", sig_type)])
+        return sketches.map_batches(rename, batch_format="pyarrow"), schema
+
+    sigs_a, siga_schema = sig_side("a")
+    sigs_b, sigb_schema = sig_side("b")
+    j1 = hash_join(candidates, sigs_a, "id_a", "sid_a", cand_schema, siga_schema,
+                   num_buckets=COARSE_BUCKETS)
+    j1_schema = pa.schema(list(cand_schema) + list(siga_schema))
+    j2 = hash_join(j1, sigs_b, "id_b", "sid_b", j1_schema, sigb_schema,
+                   num_buckets=COARSE_BUCKETS)
+
+    def estimate(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        sa = np.stack([np.asarray(v, dtype=np.int64) for v in batch["sig_a"]])
+        sb = np.stack([np.asarray(v, dtype=np.int64) for v in batch["sig_b"]])
+        est = (sa == sb).mean(axis=1)
+        out = batch[["id_a", "id_b"]].copy()
+        out["est_jaccard"] = est
+        return out[est >= threshold]
+
+    return j2.map_batches(estimate, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- simhash

@@ -238,12 +238,18 @@ def hash_join(left, right, on: str, right_on: str,
         right.map_batches(tagger(right_on, right_schema, 1), batch_format="pyarrow")
     )
 
-    def merge(group: pa.Table) -> pd.DataFrame:
+    out_schema = pa.schema(unified)
+
+    def merge(group: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
         lhs = group.filter(_pc.equal(group["__side"], 0)).select(left_names).to_pandas()
         rhs = group.filter(_pc.equal(group["__side"], 1)).select(right_names).to_pandas()
-        return lhs.merge(rhs, left_on=on, right_on=right_on)
+        merged = lhs.merge(rhs, left_on=on, right_on=right_on)
+        # emit a TYPED Arrow table: a raw pandas return would let Ray
+        # re-infer column types per block (e.g. ndarray cells become
+        # tensor-extension arrays), breaking downstream schema unify
+        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
