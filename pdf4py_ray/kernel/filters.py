@@ -188,7 +188,9 @@ def lzw_decode(data: bytes, params: dict) -> bytes:
     """LZW per PDF-1.7 §7.4.4: 9→12 bit codes MSB-first, 256=clear,
     257=EOD, ``EarlyChange`` (default 1) advances the code width one
     entry early. Absent from the reference (``TODO.md:10``)."""
-    early = params.get("EarlyChange", 1) if isinstance(params, dict) else 1
+    if not isinstance(params, dict):
+        params = {}
+    early = params.get("EarlyChange", 1)
     out = bytearray()
     table: list = [bytes([i]) for i in range(256)] + [b"", b""]
     bits = 9
@@ -207,7 +209,7 @@ def lzw_decode(data: bytes, params: dict) -> bytes:
                 prev = None
                 continue
             if code == 257:
-                return bytes(out)
+                return _apply_predictor(bytes(out), params)
             if prev is None:
                 if code >= len(table):
                     raise PdfDataError("LZWDecode: invalid first code.")
@@ -224,7 +226,8 @@ def lzw_decode(data: bytes, params: dict) -> bytes:
             prev = entry
             if len(table) + early >= (1 << bits) and bits < 12:
                 bits += 1
-    return bytes(out)
+    # PDF 1.7 §7.4.4 allows /Predictor DecodeParms on LZW as on Flate
+    return _apply_predictor(bytes(out), params)
 
 
 def lzw_encode(data: bytes, early: int = 1) -> bytes:

@@ -29,9 +29,16 @@ from ..functions.hashing import (
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """63-bit content hash; equal hashes are treated as exact
+    duplicates (collision odds ~n²/2⁶⁴ — negligible below ~10⁹ docs;
+    above that, widen the hash). NULL text maps to the sentinel -1:
+    real hashes are ``>> 1`` (non-negative), so a NULL row can never
+    collapse into the empty-string group — matching SQL ``GROUP BY``,
+    which keeps NULL as its own group distinct from ``''``."""
     vals = batch[text_col].to_pylist()
     hashes = np.fromiter(
-        (stable_hash64(v or "") >> 1 for v in vals), dtype=np.int64, count=len(vals)
+        (-1 if v is None else stable_hash64(v) >> 1 for v in vals),
+        dtype=np.int64, count=len(vals),
     )
     return batch.append_column("content_hash", pa.array(hashes, type=pa.int64()))
 

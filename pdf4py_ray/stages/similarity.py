@@ -53,7 +53,12 @@ def knn_brute(ds, k: int = 5, num_queries: int = 8,
         out_q, out_n, out_c = [], [], []
         kk = min(k + 1, sims.shape[1])  # +1 in case the query itself is here
         for row, qid in enumerate(qi):
-            idx = np.argpartition(-sims[row], kk - 1)[:kk]
+            # keep EVERY candidate tied with the kk-th best cosine, so an
+            # equal-cosine tie at the boundary can't drop the smaller
+            # neighbor_id the ROW_NUMBER oracle would pick — the global
+            # reduce applies the deterministic (cosine desc, id asc) order
+            kth = np.partition(-sims[row], kk - 1)[kk - 1]
+            idx = np.nonzero(-sims[row] <= kth)[0]
             for j in idx:
                 if ids[j] != qid:
                     out_q.append(int(qid))

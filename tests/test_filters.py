@@ -135,3 +135,18 @@ def test_decode_chain_no_filter_identity():
 def test_passthrough_image_codecs():
     for f in ("DCTDecode", "JPXDecode", "JBIG2Decode"):
         assert decode_chain({"Filter": f}, b"\xff\xd8jpg") == b"\xff\xd8jpg"
+
+
+def test_lzw_applies_predictor():
+    # PDF 1.7 §7.4.4: /Predictor DecodeParms apply to LZW as to Flate
+    import numpy as np
+
+    from pdf4py_ray.kernel.filters import flate_decode, lzw_decode, lzw_encode
+    import zlib
+
+    rows = bytes([2, 10, 20, 30, 2, 1, 2, 3])  # PNG Up filter, 2 rows x 3 cols
+    params = {"Predictor": 12, "Columns": 3}
+    expected = flate_decode(zlib.compress(rows), params)
+    assert lzw_decode(lzw_encode(rows), params) == expected
+    # and without a predictor nothing changes
+    assert lzw_decode(lzw_encode(rows), {}) == rows
