@@ -561,6 +561,49 @@ def encrypted_pdf(user_pw: bytes = b"", owner_pw: bytes = b"owner",
                      id_pair=(id0, id0))
 
 
+def encrypted_pdf_aesv3_page(text: str = "AES-256 page", password: str = "") -> bytes:
+    """A V5/AESV3 document with a real page tree, openable with the
+    (str) user password, whose page text round-trips through both
+    implementations' V5 quirk: ``decrypt_stream`` dispatches crypt
+    filters only for V == 4 (``securityhandler.py:271``), so V5
+    streams ALWAYS take the RC4 object-key path — the fixture
+    therefore RC4-encrypts its content stream with that same
+    symmetric derivation. Strings go through StrF/AESV3 as spec'd."""
+    file_key = sha256(b"fixture-aesv3-page-key").digest()
+    pw = password.encode("utf-8")[:127]
+    vsalt_u, ksalt_u = b"PAGEUUVV", b"PAGEUUKK"
+    U = sha256(pw + vsalt_u).digest() + vsalt_u + ksalt_u
+    UE = cbc_encrypt(file_key, sha256(pw + ksalt_u).digest(), b"\x00" * 16, padding=False)
+    vsalt_o, ksalt_o = b"PAGEOOVV", b"PAGEOOKK"
+    O = sha256(pw + vsalt_o + U).digest() + vsalt_o + ksalt_o
+    OE = cbc_encrypt(file_key, sha256(pw + ksalt_o + U).digest(), b"\x00" * 16, padding=False)
+    enc = {
+        "V": 5, "R": 5, "Length": 256,
+        "O": LiteralString(O), "U": LiteralString(U),
+        "OE": LiteralString(OE), "UE": LiteralString(UE),
+        "P": -44, "CF": {"StdCF": {"CFM": "AESV3", "Length": 32}},
+        "StmF": "StdCF", "StrF": "StdCF",
+    }
+    w = PdfWriter("1.7")
+    font_ref = w.add(dict(_BASE_FONT))
+    content = _content(text)
+    c_num = w._next
+    # V5 stream path == RC4 with the md5-salted object key (quirk above)
+    c_ref = w.add(RawStream({}, rc4(content, _object_key(file_key, c_num, 0, False))))
+    pages_ref = Ref(70, 0)
+    title_num = 71
+    p_ref = w.add({"Type": "Page", "Parent": pages_ref, "Contents": c_ref,
+                   "Resources": {"Font": {"F1": font_ref}}})
+    w.add({"Type": "Pages", "Kids": [p_ref], "Count": 1}, num=70)
+    # an AESV3-encrypted string object exercising StrF dispatch
+    title = b"AESV3 title"
+    iv = md5(title).digest()
+    w.add({"Title": LiteralString(iv + cbc_encrypt(title, file_key, iv))}, num=title_num)
+    root = w.add({"Type": "Catalog", "Pages": pages_ref, "Meta": Ref(title_num, 0)})
+    enc_ref = w.add(enc)
+    return w.tobytes(root, trailer_extra={"Encrypt": enc_ref})
+
+
 def encrypted_pdf_aesv3(password: str = "", text: bytes = b"AES-256 secret") -> bytes:
     """A V5/AESV3 document testing string decryption (reference-parity:
     V5 *stream* decryption takes the RC4 path, so only strings are

@@ -46,7 +46,7 @@ LONG_CONV_EXTRA_TURNS = 24
 CORRUPT_EVERY = 29
 
 PDF_VARIANTS = ("classic", "xrefstream", "objstm", "flate", "lzw", "multiline",
-                "enc_rc4", "enc_aesv2", "incremental", "hybrid")
+                "enc_rc4", "enc_aesv2", "enc_aesv3", "incremental", "hybrid")
 
 
 def _sanitize(text: str, limit: int = 200) -> str:
@@ -88,6 +88,8 @@ def make_doc_pdf(text: str, variant: str) -> bytes:
         return pdfgen.encrypted_pdf(cfm="V2", text=text)
     if variant == "enc_aesv2":
         return pdfgen.encrypted_pdf(cfm="AESV2", text=text)
+    if variant == "enc_aesv3":
+        return pdfgen.encrypted_pdf_aesv3_page(text)
     if variant == "incremental":
         # fixed content; exercises the Prev-chained xref path
         return pdfgen.incremental_update_pdf()
@@ -132,20 +134,20 @@ def make_doc_html(text: str, link_farm: bool) -> str:
 def payload_plan(doc_id: int) -> tuple:
     """(payload_kind, variant) for a document — the synthesis contract.
 
-    Covers all ten structural PDF variants (classic xref, xref stream,
-    object streams, Flate, LZW, multiline text, RC4 and AES-V2
-    encryption opened with the empty user password like the
+    Covers all eleven structural PDF variants (classic xref, xref
+    stream, object streams, Flate, LZW, multiline text, RC4 / AES-V2 /
+    AES-V3 encryption opened with the empty user password like the
     reference's ``tests/encrypted_pdfs`` corpus, Prev-chained
     incremental update, hybrid XRefStm), two HTML shapes, and plain
     prose; every 29th doc is a truncated PDF (error-path row)."""
     if doc_id % CORRUPT_EVERY == 7:
         return ("pdf_corrupt", "classic")
-    slot = doc_id % 13
-    if slot < 10:
+    slot = doc_id % 14
+    if slot < 11:
         return ("pdf", PDF_VARIANTS[slot])
-    if slot == 10:
-        return ("html", "article")
     if slot == 11:
+        return ("html", "article")
+    if slot == 12:
         return ("html", "link_farm")
     return ("text", "plain")
 
