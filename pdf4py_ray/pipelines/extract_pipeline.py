@@ -90,7 +90,20 @@ def run_extraction(
     partitioned parquet + manifests and returns the output path.
     """
     turns = synth_transcripts(sf_dir, repeat=repeat)
-    skip = checkpoint.completed_partitions(out_dir) if (out_dir and resume) else None
+    params = {"num_partitions": num_partitions, "salt_turns": salt_turns,
+              "repeat": repeat}
+    skip = None
+    if out_dir is not None:
+        if resume:
+            skip = checkpoint.completed_partitions(out_dir)
+            if skip:
+                checkpoint.verify_resume_params(out_dir, skip, params)
+            # a crashed mid-write run leaves manifest-less partial
+            # partitions; delete them before rewriting or write_parquet
+            # appends duplicates the manifest pass would then bless
+            checkpoint.clear_incomplete(out_dir)
+        else:
+            checkpoint.clear_all(out_dir)
     ds = extraction_dataset(
         turns,
         num_partitions=num_partitions,
@@ -103,7 +116,7 @@ def run_extraction(
         return ds.sort(SORT_KEYS) if sort else ds
 
     ds.write_parquet(out_dir, partition_cols=["part_id"])
-    _write_manifests(sf_dir, out_dir, skip or set())
+    _write_manifests(sf_dir, out_dir, skip or set(), params)
     return out_dir
 
 
@@ -157,7 +170,8 @@ def extraction_from_parquet(
     return ds.sort(SORT_KEYS) if sort else ds
 
 
-def _write_manifests(sf_dir: str, out_dir: str, already_done: set) -> None:
+def _write_manifests(sf_dir: str, out_dir: str, already_done: set,
+                     params: Optional[dict] = None) -> None:
     """Post-write per-partition metrics → manifests (cheap column-pruned
     read-back of the freshly written output)."""
     import pyarrow.compute as pc
@@ -180,6 +194,10 @@ def _write_manifests(sf_dir: str, out_dir: str, already_done: set) -> None:
         "pipeline_version": __PIPELINE_VERSION__,
         "input": sf_dir,
         "stages": ["synth_transcripts", "add_part_id", "ExtractTurns"],
+        # partitioning params: resume refuses to run with different
+        # values (completed part_ids are filtered from the INPUT, so a
+        # changed partitioning would skip the wrong row subsets)
+        "params": params,
     }
     for row in metrics.iter_rows():
         part_id = int(row["part_id"])

@@ -161,3 +161,40 @@ def test_salted_partitioning_spreads_hot_conversation():
     assert len(parts) > 1  # long conversation spread over sub-partitions
     parts_nosalt = {conv_partition("conv-00000000", t, 32, salt_turns=None) for t in range(28)}
     assert len(parts_nosalt) == 1
+
+
+def test_resume_cleans_crashed_partial_partitions(ray_session, tmp_path):
+    """A crashed mid-write run leaves a partition dir with parquet
+    files but no manifest; resume must delete it before rewriting so
+    rows are not duplicated."""
+    import pyarrow.dataset as pads
+
+    from pdf4py_ray.pipelines import checkpoint
+    from pdf4py_ray.pipelines.extract_pipeline import run_extraction
+
+    out_dir = str(tmp_path / "out")
+    run_extraction(SF_DIR, out_dir=out_dir, num_partitions=8, concurrency=2)
+    done = checkpoint.completed_partitions(out_dir)
+    victim = sorted(done)[0]
+    total = pads.dataset(out_dir, format="parquet", partitioning="hive").count_rows()
+
+    # simulate the crash: parquet files present, manifest gone
+    os.remove(os.path.join(checkpoint.partition_dir(out_dir, victim), "_MANIFEST.json"))
+    run_extraction(SF_DIR, out_dir=out_dir, num_partitions=8, concurrency=2)
+    assert checkpoint.completed_partitions(out_dir) == done
+    after = pads.dataset(out_dir, format="parquet", partitioning="hive").count_rows()
+    assert after == total  # no duplicated rows from appended files
+
+
+def test_resume_rejects_changed_partitioning(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from pdf4py_ray.pipelines.extract_pipeline import run_extraction
+
+    out_dir = str(tmp_path / "out")
+    run_extraction(SF_DIR, out_dir=out_dir, num_partitions=8, concurrency=2)
+    with _pytest.raises(ValueError, match="Cannot resume"):
+        run_extraction(SF_DIR, out_dir=out_dir, num_partitions=16, concurrency=2)
+    # resume=False rewrites from scratch instead
+    run_extraction(SF_DIR, out_dir=out_dir, num_partitions=16, concurrency=2,
+                   resume=False)
