@@ -82,13 +82,23 @@ def entry() -> Any:
 
 
 def _extract_turns(sf_dir: str):
+    """Flagship extraction — value-gated against a committed golden
+    parquet (regenerate with ``scripts/regen_goldens.py``); the span
+    offsets live in ``x_extract_spans`` (list column, rows-only)."""
     from pdf4py_ray.pipelines.extract_pipeline import run_extraction
 
     ds = run_extraction(sf_dir, out_dir=None, num_partitions=16, concurrency=(1, 8))
     return ds.select_columns(
-        ["conv_id", "turn_idx", "kind", "extracted_text", "spans", "status",
+        ["conv_id", "turn_idx", "kind", "extracted_text", "status",
          "n_objects", "n_bytes"]
     )
+
+
+def _extract_spans(sf_dir: str):
+    from pdf4py_ray.pipelines.extract_pipeline import run_extraction
+
+    ds = run_extraction(sf_dir, out_dir=None, num_partitions=16, concurrency=(1, 8))
+    return ds.select_columns(["conv_id", "turn_idx", "spans"])
 
 
 def _extract_metrics(sf_dir: str):
@@ -284,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (non-SQL: synthesized payload corpus)
         "x_extract_turns": _extract_turns,
+        "x_extract_spans": _extract_spans,
         "x_extract_metrics": _extract_metrics,
         "x_extract_write": _extract_write,
         # relational engine layer (SURVEY §2.6)
@@ -332,8 +343,25 @@ _BPE_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
 _STOPWORDS_SQL = "'the','and','of','to','a','in','is','it','that','for','on','with','as'"
 
 
+_GOLDEN_DIR = os.path.join(_REPO_ROOT, "tests", "golden")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # the flagship is value-gated against a committed golden file
+        # (sf0.01 output, generated by scripts/regen_goldens.py and
+        # itself validated against the kernel's reference-corpus and
+        # per-turn parity tests); read_parquet keeps schema + values
+        # bit-identical for the driver's hash compare
+        "x_extract_turns": f"""
+            SELECT conv_id, turn_idx, kind, extracted_text, status,
+                   n_objects, n_bytes
+            FROM read_parquet('{_GOLDEN_DIR}/x_extract_turns_sf001.parquet')
+        """,
+        "x_extract_metrics": f"""
+            SELECT kind, status, n_turns, payload_bytes
+            FROM read_parquet('{_GOLDEN_DIR}/x_extract_metrics_sf001.parquet')
+        """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -499,6 +527,63 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(array_length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
                         ELSE 0.0 END) AS quality_score
             FROM documents
+        """,
+        "t_lang_id": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(ws)=0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as'))) AS DOUBLE)/len(ws) END AS s_en,
+    CASE WHEN len(ws)=0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von'))) AS DOUBLE)/len(ws) END AS s_de,
+    CASE WHEN len(ws)=0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> x IN ('le','la','les','et','est','pas','une','un','des','du','que','pour'))) AS DOUBLE)/len(ws) END AS s_fr,
+    CASE WHEN len(ws)=0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> x IN ('el','la','los','las','y','es','no','una','un','de','que','para'))) AS DOUBLE)/len(ws) END AS s_es,
+    CASE WHEN len(ws)=0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> x IN ('il','la','le','e','è','non','una','un','di','che','per','con'))) AS DOUBLE)/len(ws) END AS s_it
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_it) <= 0.02 THEN 'und'
+                   WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'en'
+                   WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'de'
+                   WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'fr'
+                   WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'es'
+                   ELSE 'it' END AS lang_pred
+            FROM s
+        """,
+        "t_fingerprints": """
+            -- Rabin-Karp min-fingerprint, word hashes = md5_number_lower,
+            -- all arithmetic mod the Mersenne prime 2^61-1 (HUGEINT-exact)
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws FROM documents
+            ), h AS (
+              SELECT doc_id, list_transform(ws, x -> CAST(md5_number_lower(x) AS HUGEINT) % 2305843009213693951) AS hs FROM w
+            )
+            SELECT doc_id, CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE
+              list_min(list_transform(range(1, len(hs) - least(len(hs), 5) + 2),
+                i -> list_sum(list_transform(range(0, least(len(hs), 5)),
+                       j -> (hs[i + j] * ([1,1099511628211,956575116878633,1200626016367673003,2304344181287796448][least(len(hs),5) - j])) % 2305843009213693951)) % 2305843009213693951))
+              END AS BIGINT) AS fingerprint
+            FROM h
+        """,
+        "d_simhash_pairs": """
+            -- full SimHash recomputation: md5-lower-64 word hashes, sign
+            -- aggregation per bit, 63-bit fingerprints, Hamming <= 3
+            WITH w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id, list_transform(ws, x -> CAST(md5_number_lower(x) AS HUGEINT)) AS hs FROM w
+            ), fp AS (
+              SELECT doc_id, CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE
+                list_sum(list_transform(range(0, 64),
+                  k -> CASE WHEN list_sum(list_transform(hs, v -> 2 * CAST((v >> k) & 1 AS BIGINT) - 1)) > 0
+                            THEN (CAST(1 AS HUGEINT) << k) ELSE 0 END))
+                END AS HUGEINT) AS f128
+              FROM h
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(CAST(a.f128 >> 1 AS BIGINT), CAST(b.f128 >> 1 AS BIGINT))) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(CAST(a.f128 >> 1 AS BIGINT), CAST(b.f128 >> 1 AS BIGINT))) <= 3
         """,
         "t_train_test_split": """
             SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'

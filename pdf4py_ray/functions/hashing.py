@@ -7,7 +7,7 @@ input, stable across workers, nodes and runs.
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import blake2b, md5
 
 import numpy as np
 
@@ -19,6 +19,17 @@ def stable_hash64(data) -> int:
     if isinstance(data, str):
         data = data.encode("utf-8", "surrogatepass")
     return int.from_bytes(blake2b(data, digest_size=8).digest(), "big")
+
+
+def md5_lower64(s) -> int:
+    """Lower 64 bits of MD5 exactly as DuckDB's ``md5_number_lower``
+    computes them (digest bytes 8..16, little-endian). Used as the
+    word hash wherever a SQL oracle must recompute hashes in DuckDB;
+    kernels with no oracle requirement keep the faster blake2b
+    :func:`stable_hash64`."""
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return int.from_bytes(md5(s).digest()[8:16], "little")
 
 
 def stable_hash64_column(values) -> np.ndarray:

@@ -20,6 +20,7 @@ import pyarrow as pa
 
 from ..functions.hashing import (
     band_hashes,
+    md5_lower64,
     minhash_params,
     minhash_signature,
     stable_hash64,
@@ -239,10 +240,12 @@ class SimHash64:
         self.bit_cols = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
+        # md5-lower-64 word hashes (not blake2b): DuckDB can recompute
+        # them, so the driver value-gates d_simhash_pairs end to end
         words = (text or "").lower().split()
         if not words:
             return 0
-        hashes = np.fromiter((stable_hash64(w) for w in words), dtype=np.uint64)
+        hashes = np.fromiter((md5_lower64(w) for w in words), dtype=np.uint64)
         bits = ((hashes[:, None] >> self.bit_cols[None, :]) & np.uint64(1)).astype(np.int64)
         acc = (2 * bits - 1).sum(axis=0)
         fp = np.uint64(0)

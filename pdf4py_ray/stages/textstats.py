@@ -6,9 +6,10 @@ counting (whitespace + a BPE-ish regex), and document fingerprinting
 the heavy pieces (compiled regexes, stopword tables) live in actor
 ``__init__``.
 
-The token/punctuation metrics are defined to be *exactly* replicable
-in ANSI SQL (see ``__ray_entry__.oracle_sql``), so the DuckDB oracle
-can value-check them; lang-ID and fingerprints are rows-only checks.
+Every column here — including lang-ID (stopword argmax) and the
+fingerprint (Rabin-Karp mod 2⁶¹−1 over md5-lower-64 word hashes) — is
+defined to be *exactly* replicable in DuckDB SQL (see
+``__ray_entry__.oracle_sql``), so the driver value-gates all of them.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import md5_lower64, stable_hash64
 
 # minimal stopword profiles (public common-word lists)
 STOPWORDS = {
@@ -61,28 +62,28 @@ class TextStats:
                 best, best_score = lang, score
         return best if best_score > 0.02 else "und"
 
+    _FP_MOD = (1 << 61) - 1  # Mersenne prime: HUGEINT-safe in DuckDB
+    _FP_BASE = 1099511628211
+
     def fingerprint_of(self, words: list, k: int = 5) -> int:
-        """Document fingerprint: min rolling (Rabin-Karp) hash over
-        word ``k``-grams; stable across runs/workers."""
+        """Document fingerprint: min rolling (Rabin-Karp) polynomial
+        hash over word ``k``-grams, mod the Mersenne prime 2⁶¹−1 with
+        md5-lower-64 word hashes — every step exactly replicable in
+        DuckDB HUGEINT arithmetic, so the driver value-gates this
+        column (``oracle_sql()['t_fingerprints']``). Stable across
+        runs/workers/partitionings."""
         if not words:
             return 0
-        base = np.uint64(1099511628211)
-        hashes = np.fromiter(
-            (stable_hash64(w) for w in words), dtype=np.uint64, count=len(words)
-        )
-        if len(words) <= k:
-            acc = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for h in hashes:
-                    acc = acc * base + h
-            return int(acc >> np.uint64(1))
-        with np.errstate(over="ignore"):
-            # rolling hash of each k-window, vectorized: sum of h[i]*base^(k-1-j)
-            powers = np.array([base ** np.uint64(k - 1 - j) for j in range(k)], dtype=np.uint64)
-            n = len(hashes) - k + 1
-            windows = np.lib.stride_tricks.sliding_window_view(hashes, k)
-            grams = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
-        return int(grams.min() >> np.uint64(1))
+        M, B = self._FP_MOD, self._FP_BASE
+        hs = [md5_lower64(w) % M for w in words]
+        L = min(k, len(hs))
+        powers = [pow(B, L - 1 - j, M) for j in range(L)]
+        best = None
+        for i in range(len(hs) - L + 1):
+            acc = sum((hs[i + j] * powers[j]) % M for j in range(L)) % M
+            if best is None or acc < best:
+                best = acc
+        return best
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[self.text_col].fillna("")

@@ -40,6 +40,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 SQL_CHECKED = [
+    "x_extract_turns",
+    "x_extract_metrics",
+    "d_simhash_pairs",
+    "t_lang_id",
+    "t_fingerprints",
     "q_pricing_summary",
     "q_revenue_by_segment",
     "q_orders_per_nation",
