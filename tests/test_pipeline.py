@@ -198,3 +198,36 @@ def test_resume_rejects_changed_partitioning(ray_session, tmp_path):
     # resume=False rewrites from scratch instead
     run_extraction(SF_DIR, out_dir=out_dir, num_partitions=16, concurrency=2,
                    resume=False)
+
+
+def test_range_sorted_equals_full_sort(ray_session, turns_table):
+    """Bucket-ascending concatenation of range_sorted output must equal
+    Ray's global sort exactly (the stable-order gate contract)."""
+    import ray.data as rd
+
+    from pdf4py_ray.pipelines.extract_pipeline import (
+        SORT_KEYS,
+        extraction_dataset,
+        range_sorted,
+    )
+
+    ds = rd.from_arrow(turns_table)
+    base = extraction_dataset(ds, num_partitions=8, concurrency=2)
+    full = base.sort(SORT_KEYS).select_columns(
+        ["conv_id", "turn_idx", "extracted_text"]).take_all()
+
+    convs = sorted({r["conv_id"] for r in turns_table.select(["conv_id"]).to_pylist()})
+    splits = convs[1::3]  # arbitrary valid split points
+    ranged = range_sorted(
+        extraction_dataset(rd.from_arrow(turns_table), num_partitions=8, concurrency=2),
+        splits,
+    ).select_columns(["sort_bucket", "conv_id", "turn_idx", "extracted_text"]).take_all()
+
+    # concatenate buckets ascending, preserving intra-bucket emit order
+    by_bucket = {}
+    for r in ranged:
+        by_bucket.setdefault(r["sort_bucket"], []).append(r)
+    merged = [r for b in sorted(by_bucket) for r in by_bucket[b]]
+    assert [(r["conv_id"], r["turn_idx"], r["extracted_text"]) for r in merged] == [
+        (r["conv_id"], r["turn_idx"], r["extracted_text"]) for r in full
+    ]
