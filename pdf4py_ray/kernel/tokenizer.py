@@ -98,13 +98,14 @@ _ESCAPE_MAP = {
 class Tokenizer:
     """Pull-based token stream over ``data`` with random-access support."""
 
-    __slots__ = ("buf", "n", "pos", "pending", "_stack")
+    __slots__ = ("buf", "n", "pos", "pending", "_stack", "context_size")
 
-    def __init__(self, data) -> None:
+    def __init__(self, data, context_size: int = 200) -> None:
         if isinstance(data, memoryview):
             data = bytes(data)
         if not isinstance(data, (bytes, bytearray)):
             raise ValueError("Tokenizer source must be bytes-like.")
+        self.context_size = context_size  # reference Lexer default (``_lexer.py:69``)
         self.buf: bytes = bytes(data)
         self.n = len(self.buf)
         self.pos = 0
@@ -115,10 +116,33 @@ class Tokenizer:
 
     # ------------------------------------------------------------------ helpers
 
+    # escape-sequence *values* the reference counts when positioning the
+    # caret (they print as two characters: ``STRING_ESCAPE_SEQUENCES``,
+    # ``_charset.py:63-69``)
+    _ESCAPE_BYTES = b"\n\r\x08\t\x0c"
+
+    def get_context(self, context_size=None):
+        """Bytes around the cursor for diagnostics — reference
+        ``Lexer.get_context`` semantics (``_lexer.py:165-202``):
+        window of at most ``context_size`` bytes starting at
+        ``max(pos - size//2, 0)``; returns ``(context, error_position,
+        error_relative_position)`` where the relative position carries
+        the reference's escaped-byte caret adjustment."""
+        size = self.context_size if context_size is None else context_size
+        side = size // 2
+        start = self.pos - side
+        if start < 0:
+            side += start
+            start = 0
+        context = self.buf[start : start + size]
+        escaped = sum(context[:side].count(x) for x in self._ESCAPE_BYTES)
+        return context, self.pos, side + escaped + 1
+
     def error(self, msg: str) -> None:
-        ctx_start = max(0, self.pos - 60)
-        ctx = self.buf[ctx_start : self.pos + 60]
-        raise PdfLexError(f"{msg} (position {self.pos}, context {ctx!r})")
+        context, pos, rel = self.get_context()
+        raise PdfLexError(
+            f"{msg}\n\nPosition {pos}, context:\n\t{context}\n\t{' ' * rel}^"
+        )
 
     def push_back(self, token) -> None:
         """Return ``token`` to the stream; LIFO like the reference's

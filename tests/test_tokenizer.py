@@ -212,3 +212,44 @@ def test_mixed_sequence():
         ARRAY_OPEN, 1, 2.5, LiteralString(b"s"), ARRAY_CLOSE,
         Operator("BT"),
     ]
+
+
+def test_get_context_reference_semantics():
+    # reference Lexer.get_context (_lexer.py:165-202): window of at most
+    # context_size bytes from max(pos - size//2, 0), caret adjusted by
+    # escaped-byte count in the left half
+    from pdf4py_ray.kernel.tokenizer import Tokenizer
+
+    buf = b"0123456789" * 10
+    tok = Tokenizer(buf, context_size=20)
+    tok.pos = 50
+    ctx, pos, rel = tok.get_context()
+    assert ctx == buf[40:60] and pos == 50 and rel == 11
+
+    # near the start the window clips and the caret shifts left
+    tok.pos = 3
+    ctx, pos, rel = tok.get_context()
+    assert ctx == buf[0:20] and rel == 4
+
+    # per-call override
+    ctx, _, _ = tok.get_context(context_size=6)
+    assert ctx == buf[0:6]
+
+    # escaped bytes left of the caret widen the printed offset
+    tok2 = Tokenizer(b"a\nb\tc" + b"x" * 40, context_size=10)
+    tok2.pos = 5
+    ctx, _, rel = tok2.get_context()
+    assert rel == 5 + 2 + 1  # two escape bytes in the left half
+
+
+def test_error_message_carries_context():
+    import pytest as _pytest
+
+    from pdf4py_ray.kernel.errors import PdfLexError
+    from pdf4py_ray.kernel.tokenizer import Tokenizer
+
+    tok = Tokenizer(b"1 2 >")
+    with _pytest.raises(PdfLexError) as ei:
+        for _ in range(5):
+            tok.next()
+    assert "Position" in str(ei.value) and "context" in str(ei.value)
