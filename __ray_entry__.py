@@ -362,6 +362,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, status, n_turns, payload_bytes
             FROM read_parquet('{_GOLDEN_DIR}/x_extract_metrics_sf001.parquet')
         """,
+        "x_extract_write": f"""
+            SELECT part_id, rows, errors
+            FROM read_parquet('{_GOLDEN_DIR}/x_extract_write_sf001.parquet')
+        """,
+        "m_media_decode": f"""
+            SELECT media_id, kind, format, n_bytes, content_hash, width, height
+            FROM read_parquet('{_GOLDEN_DIR}/m_media_decode.parquet')
+        """,
+        "m_frame_sample": f"""
+            SELECT media_id, frame_idx, frame_hash
+            FROM read_parquet('{_GOLDEN_DIR}/m_frame_sample.parquet')
+        """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -89,11 +89,36 @@ def bench_extract() -> tuple:
     warm.count()
 
     # BENCH_SORT=0 → production shape (hash-partitioned output,
-    # per-partition order, no terminal sort); 1 → the gate shape's
-    # range-partitioned stable sort; "full" → Ray's built-in sort
-    # operator (informational)
+    # per-partition order, no terminal sort, count only); 1 → the gate
+    # shape: range-tagged ordered WRITE + per-bucket compaction
+    # (stable_sorted_write — external sort, no object-store
+    # all-to-all); "full" → Ray's built-in sort operator
     sort_env = os.environ.get("BENCH_SORT", "1")
-    sort = {"0": False, "full": "full"}.get(sort_env, "range")
+    if sort_env == "1":
+        import shutil
+
+        from pdf4py_ray.pipelines.extract_pipeline import (
+            sample_split_points,
+            stable_sorted_write,
+        )
+
+        out_dir = f"/tmp/pdf4py_ray_gate_out_{os.getpid()}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        splits = sample_split_points(turns_dir, num_buckets=max(64, NUM_CPUS * 2))
+        t0 = time.perf_counter()
+        ds = extraction_from_parquet(
+            turns_dir,
+            num_partitions=max(32, NUM_CPUS * 2),
+            concurrency=(pool, pool),
+            batch_size=None,
+            sort=False,
+        )
+        n_turns = stable_sorted_write(ds, out_dir, splits)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return dt, n_turns
+
+    sort = False if sort_env == "0" else "full"
     t0 = time.perf_counter()
     ds = extraction_from_parquet(
         turns_dir,
@@ -170,11 +195,12 @@ def scaling() -> None:
     compute-bound at both parallelism levels, measuring steady-state
     throughput rather than the seconds of fixed start-up a 100 TB run
     amortizes away. Reports BOTH pipeline shapes: the equality-gate
-    shape (range-partitioned stable sort: sampled split points, one
-    bucket shuffle, per-bucket vectorized sort — ordered when consumed
-    bucket-ascending), the production shape (hash-partitioned output,
-    per-partition order, no terminal sort) that actually runs at
-    10^12-turn scale, and Ray's built-in sort operator for reference.
+    shape (stable_sorted_write: range-tagged hive-partitioned write +
+    per-bucket compaction — an external sort with no object-store
+    all-to-all, output stably ordered bucket-ascending), the
+    production shape (hash-partitioned output, per-partition order,
+    no terminal sort or write) that runs at 10^12-turn scale, and
+    Ray's built-in sort operator for reference.
     The scaling criterion is evidenced by the production shape; the
     stable-sort gate shape is expected to track it closely.
     """
@@ -209,12 +235,12 @@ def scaling() -> None:
     lo, hi = 8, 32
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     shapes = {}
-    for key, sort in (("production_shape", "0"), ("with_stable_sort", "1"),
+    for key, sort in (("production_shape", "0"), ("with_stable_sorted_write", "1"),
                       ("with_full_sort_operator", "full")):
         # best-of-N on the criterion shape: single draws vary ±30% on
         # this shared sandbox; peak throughput is the capability number.
         # The informational sorted shape runs once.
-        n = trials if key in ("production_shape", "with_stable_sort") else 1
+        n = trials if key in ("production_shape", "with_stable_sorted_write") else 1
         r_lo = min((run(lo, sort) for _ in range(n)), key=lambda r: r["value"])
         r_hi = min((run(hi, sort) for _ in range(n)), key=lambda r: r["value"])
         tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
@@ -234,7 +260,7 @@ def scaling() -> None:
                 "cpus_hi": hi,
                 "scaling_efficiency": shapes["production_shape"]["scaling_efficiency"],
                 "production_shape": shapes["production_shape"],
-                "with_stable_sort": shapes["with_stable_sort"],
+                "with_stable_sorted_write": shapes["with_stable_sorted_write"],
                 "with_full_sort_operator": shapes["with_full_sort_operator"],
                 "n_turns": n_turns,
                 "sf": SF_DIR,

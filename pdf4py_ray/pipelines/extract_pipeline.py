@@ -207,6 +207,69 @@ def range_sorted(ds, split_points: list, sort_keys=None, keep_bucket: bool = Tru
     )
 
 
+def stable_sorted_write(ds, out_dir: str, split_points: list,
+                        sort_keys=None) -> int:
+    """Stable global sort as an EXTERNAL sort with no object-store
+    all-to-all — the ordered-write gate/production shape.
+
+    Stage 1 (streaming, no shuffle): rows are range-tagged by
+    ``searchsorted(split_points, conv_id)`` and written with
+    ``write_parquet(partition_cols=["sort_bucket"])`` — every task
+    appends its own fragment files under each bucket's hive directory,
+    so the data movement is task→storage, never task→task.
+
+    Stage 2 (embarrassingly parallel): one Ray task per bucket reads
+    its fragments (bucket ≈ corpus/B rows), sorts in memory with one
+    vectorized ``Table.sort_by``, writes a single ``sorted.parquet``
+    and removes the fragments. Bucket ``b`` holds exactly the keys
+    between split ``b-1`` and ``b``, so reading ``sort_bucket=0..B``
+    in order IS the stable global (conv_id, turn_idx) order.
+
+    Both stages scale linearly with nodes (storage-bandwidth bound,
+    not interconnect-barrier bound). Returns the total row count."""
+    import glob as globmod
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    keys = sort_keys or SORT_KEYS
+    splits_arr = np.array(split_points)
+    splits_ref = ray.put(splits_arr)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sp = ray.get(splits_ref)
+        vals = np.asarray(batch[keys[0]].to_pylist())
+        bucket = np.searchsorted(sp, vals, side="right").astype(np.int64)
+        return batch.append_column("sort_bucket", pa.array(bucket, type=pa.int64()))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["sort_bucket"]
+    )
+
+    @ray.remote(num_cpus=1)
+    def compact(bucket_dir: str) -> int:
+        import os as osmod
+
+        import pyarrow.parquet as pqmod
+
+        frags = sorted(globmod.glob(osmod.path.join(bucket_dir, "*.parquet")))
+        if not frags:
+            return 0
+        t = pa.concat_tables(pqmod.read_table(f) for f in frags)
+        t = t.sort_by([(k, "ascending") for k in keys])
+        tmp = osmod.path.join(bucket_dir, "sorted.parquet.tmp")
+        pqmod.write_table(t, tmp)
+        osmod.replace(tmp, osmod.path.join(bucket_dir, "sorted.parquet"))
+        for f in frags:
+            osmod.remove(f)
+        return t.num_rows
+
+    bucket_dirs = sorted(globmod.glob(os.path.join(out_dir, "sort_bucket=*")))
+    counts = ray.get([compact.remote(d) for d in bucket_dirs])
+    return int(sum(counts))
+
+
 def materialize_turns(sf_dir: str, out_dir: str, repeat: int = 1) -> str:
     """One-time synthesis of the transcript turn table to Parquet.
 

@@ -49,6 +49,22 @@ def main() -> None:
     pq.write_table(m, os.path.join(OUT, "x_extract_metrics_sf001.parquet"))
     print("x_extract_metrics golden:", m.num_rows, "rows")
 
+    # deterministic under the fixed 16-way hash partitioning
+    w = pa.Table.from_pandas(q["x_extract_write"](SF), preserve_index=False)
+    w = w.sort_by([("part_id", "ascending")])
+    pq.write_table(w, os.path.join(OUT, "x_extract_write_sf001.parquet"))
+    print("x_extract_write golden:", w.num_rows, "rows")
+
+    # the synthetic media table is a pure function — fully deterministic
+    for name, sort_keys in (
+        ("m_media_decode", [("media_id", "ascending")]),
+        ("m_frame_sample", [("media_id", "ascending"), ("frame_idx", "ascending")]),
+    ):
+        t = pa.concat_tables(q[name](SF).iter_batches(batch_format="pyarrow"))
+        t = t.sort_by(sort_keys)
+        pq.write_table(t, os.path.join(OUT, f"{name}.parquet"))
+        print(f"{name} golden:", t.num_rows, "rows")
+
     ray.shutdown()
 
 

@@ -41,6 +41,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_CHECKED = [
     "x_extract_turns",
+    "x_extract_write",
+    "m_media_decode",
+    "m_frame_sample",
     "x_extract_metrics",
     "d_simhash_pairs",
     "t_lang_id",

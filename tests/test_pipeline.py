@@ -231,3 +231,37 @@ def test_range_sorted_equals_full_sort(ray_session, turns_table):
     assert [(r["conv_id"], r["turn_idx"], r["extracted_text"]) for r in merged] == [
         (r["conv_id"], r["turn_idx"], r["extracted_text"]) for r in full
     ]
+
+
+def test_stable_sorted_write_ordered_output(ray_session, tmp_path, turns_table):
+    """Reading sort_bucket dirs ascending must equal the full sort —
+    the ordered-write (external sort) gate contract."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf4py_ray.pipelines.extract_pipeline import (
+        SORT_KEYS,
+        extraction_dataset,
+        stable_sorted_write,
+    )
+
+    convs = sorted({r["conv_id"] for r in turns_table.select(["conv_id"]).to_pylist()})
+    splits = convs[1::4]
+    out = str(tmp_path / "ssw")
+    ds = extraction_dataset(rd.from_arrow(turns_table), num_partitions=8, concurrency=2)
+    n = stable_sorted_write(ds, out, splits)
+    assert n == len(turns_table)
+
+    parts = sorted(
+        glob.glob(out + "/sort_bucket=*/sorted.parquet"),
+        key=lambda p: int(p.split("sort_bucket=")[1].split("/")[0]),
+    )
+    got_tbl = pa.concat_tables(pq.read_table(p, columns=["conv_id", "turn_idx"]) for p in parts)
+    got = list(zip(got_tbl["conv_id"].to_pylist(), got_tbl["turn_idx"].to_pylist()))
+    full = extraction_dataset(rd.from_arrow(turns_table), num_partitions=8, concurrency=2)
+    want = [(r["conv_id"], r["turn_idx"])
+            for r in full.sort(SORT_KEYS).select_columns(["conv_id", "turn_idx"]).take_all()]
+    assert got == want
