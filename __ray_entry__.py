@@ -347,6 +347,17 @@ _GOLDEN_DIR = os.path.join(_REPO_ROOT, "tests", "golden")
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # d_ngram_verify emits the MinHash candidate pairs (the exact-Jaccard
+    # verification adds a column the query then drops), so its value
+    # oracle is the pair-id projection of the MinHash recomputation
+    out["d_ngram_verify"] = (
+        "SELECT id_a, id_b FROM (" + out["d_minhash_pairs"] + ")"
+    )
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         # the flagship is value-gated against a committed golden file
         # (sf0.01 output, generated by scripts/regen_goldens.py and
@@ -373,6 +384,18 @@ def oracle_sql() -> dict[str, str]:
         "m_frame_sample": f"""
             SELECT media_id, frame_idx, frame_hash
             FROM read_parquet('{_GOLDEN_DIR}/m_frame_sample.parquet')
+        """,
+        # seeded-LSH / seeded-IVF ANN are deterministic (planes and
+        # centroid sample are pure functions of the seed + input);
+        # goldens freeze the sf0.01 outputs, recall vs brute force is
+        # pinned separately in tests
+        "s_knn_lsh": f"""
+            SELECT query_id, neighbor_id
+            FROM read_parquet('{_GOLDEN_DIR}/s_knn_lsh.parquet')
+        """,
+        "s_knn_ivf": f"""
+            SELECT query_id, neighbor_id
+            FROM read_parquet('{_GOLDEN_DIR}/s_knn_ivf.parquet')
         """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -575,6 +598,41 @@ def oracle_sql() -> dict[str, str]:
                        j -> (hs[i + j] * ([1,1099511628211,956575116878633,1200626016367673003,2304344181287796448][least(len(hs),5) - j])) % 2305843009213693951)) % 2305843009213693951))
               END AS BIGINT) AS fingerprint
             FROM h
+        """,
+        "d_minhash_pairs": """
+            -- full MinHash recomputation: md5-lower-64 shingle hashes,
+            -- the engine's (a*x+b) mod 2^64 permutation family (the
+            -- coefficient literals ARE the engine's seeded parameters),
+            -- LSH candidacy = any of 16 four-slot bands equal, estimate
+            -- = matching-permutation fraction >= 0.8
+            WITH w AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, CASE
+                WHEN len(ws) = 0 THEN []
+                WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))
+              END AS grams FROM w
+            ), h AS (
+              SELECT doc_id, list_transform(grams, x -> CAST(md5_number_lower(x) AS HUGEINT)) AS xs FROM g
+            ), sig AS (
+              SELECT doc_id, CASE WHEN len(xs) = 0
+                THEN list_transform(range(0, 64), i -> CAST(18446744073709551615 AS HUGEINT))
+                ELSE list_transform(range(1, 65),
+                       i -> list_min(list_transform(xs, x -> ([2297359619001564597,3702525538111689999,4279532810384561225,1819927849474927637,2878035897379592315,2877591057541362903,1071453510346823115,2143071682933157237,1865242737500154729,3838261603483033731,379716980844854581,4056620670284786009,1520798217888136607,3916965252892395907,3354078637317002173,3383216058915832993,1000592739665268027,456675647751657725,3356293238551440217,760543396461257179,2063321781277379071,2573207579743373313,777431531920034493,2146497176616232719,3801320372615379903,648881935158774719,3683331184091793261,262579006026876149,1704747971477620217,856858769658023397,1983852346201383559,3145614893971139401,1199990111390225683,3668790493110870617,3977708969185749007,1077240956986238971,1007446255075745115,1801732545371167619,3398499539507992669,3507694356149197757,2251208029941317037,4522715722929685257,634356285132873763,2938942686635002961,161962062168655411,2998006915245497733,1138368374822601727,370189644521515575,861652531725782789,3409962917989459421,4050621447597455763,463618807884355117,3495638428956528843,2671593069387285477,1805935812952358751,3170520047283612943,1632398491907562959,3615245731022333181,834296198785359551,1389599250197995221,2558144436660887277,393820126512235375,1452450688103961369,1969251275389991129][i] * x + [570641018389960891,787603798186516972,2599593106808018076,962864383515356972,1375216642409152344,4369792663271246344,410343612402300032,3665657328862104199,101865178233748542,1207550233880778226,3815844455732904327,4224436523279905186,392368560994791802,1365882634414198249,2000839474307464185,2137406799659846683,2086389863579132104,2274448960578859787,1492305152117099552,1172444636525752822,1124925287146532413,1386887510159385380,4235486339406973611,2537487463003466453,2531128382900250146,4099141802836590306,2206124335314378670,3933671957762042498,198948935564477444,1130364857072845302,386776297324261773,4497234992817625882,419346625420198094,3275053773611030361,468900105785203579,1990245566174715570,579766154391765855,2516327908049542384,1187158319135118332,158101386990278531,2906588525114374628,4598629964688595174,2958542714694731406,102400447934616092,4220581090707823116,1420028748837633862,733284897621110002,2974007798173947675,3314836524575861417,1072131779469420093,2460865043852536820,2240552382924550939,990075153342510699,3441610119876470099,2629749367499564989,725736267669063295,1059583932984535030,2694908889609426392,1254442603959937213,2030099650348479872,4204661625653757210,3267062174733965944,1254651014867448780,2042618724242302210][i]) % 18446744073709551616)))
+              END AS s FROM h
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_sum(list_transform(range(1, 65),
+                     i -> CASE WHEN a.s[i] = b.s[i] THEN 1 ELSE 0 END)) / 64.0 AS est_jaccard
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE (list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN a.s[i] = b.s[i] THEN 1 ELSE 0 END)) / 64.0) >= 0.8
+              AND len(list_filter(range(0, 16),
+                    j -> a.s[4*j+1] = b.s[4*j+1] AND a.s[4*j+2] = b.s[4*j+2]
+                     AND a.s[4*j+3] = b.s[4*j+3] AND a.s[4*j+4] = b.s[4*j+4])) > 0
         """,
         "d_simhash_pairs": """
             -- full SimHash recomputation: md5-lower-64 word hashes, sign

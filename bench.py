@@ -205,9 +205,11 @@ def scaling() -> None:
     stable-sort gate shape is expected to track it closely.
     """
     here = os.path.abspath(__file__)
-    # sized so extraction CPU dominates fixed overhead at 32 CPUs
-    # (~8.6k turns/s/core kernel → ~4.3M turns ≈ 500 core-seconds)
-    repeat = os.environ.get("BENCH_REPEAT", "192")
+    # sized so extraction CPU dominates fixed overhead at 32 CPUs:
+    # at repeat=192 the ~9 s fixed start-up is ~23% of the 32-CPU run
+    # and alone caps measurable efficiency near 0.75; 384 → ~8.6M
+    # turns, overhead ~12%, criterion measurable
+    repeat = os.environ.get("BENCH_REPEAT", "384")
 
     # materialize the turn-table parquet once in the parent so neither
     # timed child pays corpus-synthesis cost

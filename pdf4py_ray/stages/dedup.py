@@ -89,12 +89,14 @@ def _add_pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def _shingle_hashes(text: str, k: int = SHINGLE_WORDS) -> np.ndarray:
+    # md5-lower-64 gram hashes (not blake2b): DuckDB recomputes them,
+    # so d_minhash_pairs carries a full SQL recomputation oracle
     words = (text or "").lower().split()
     if len(words) < k:
         grams = [" ".join(words)] if words else []
     else:
         grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.fromiter((stable_hash64(g) for g in set(grams)), dtype=np.uint64)
+    return np.fromiter((md5_lower64(g) for g in set(grams)), dtype=np.uint64)
 
 
 class MinHashSignatures:

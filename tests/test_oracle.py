@@ -45,6 +45,8 @@ SQL_CHECKED = [
     "m_media_decode",
     "m_frame_sample",
     "x_extract_metrics",
+    "d_minhash_pairs",
+    "d_ngram_verify",
     "d_simhash_pairs",
     "t_lang_id",
     "t_fingerprints",
@@ -70,6 +72,8 @@ SQL_CHECKED = [
     "t_text_stats",
     "t_train_test_split",
     "s_knn_brute",
+    "s_knn_lsh",
+    "s_knn_ivf",
 ]
 
 
@@ -91,6 +95,9 @@ def test_all_oracle_keys_exist_in_queries(entrymod):
 
 ROWS_ONLY = [
     "d_minhash_pairs",
+    "d_ngram_verify",
+    "d_minhash_pairs",
+    "d_ngram_verify",
     "d_simhash_pairs",
     "t_lang_id",
     "t_fingerprints",
