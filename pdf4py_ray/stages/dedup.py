@@ -138,10 +138,12 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     picks up its two signatures through two keyed bucket-shuffle
     joins against the sketch table (2× sketch shuffle instead of 16×)
     and the Jaccard estimate is one vectorized comparison per pair.
+    When the candidate set is small (the normal dedup regime —
+    near-dups ≪ corpus), verification instead broadcasts the candidate
+    ids, semi-joins the sketch table distributed and verifies against
+    only the involved signatures — one distributed filter, no shuffle.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
-    from .relational import hash_join
-
     sketches = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
@@ -193,7 +195,56 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_batches(_add_pair_bucket, batch_format="pandas")
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
+        .materialize()  # pair ids only — tiny relative to the corpus
     )
+
+    def estimate_frame(batch: pd.DataFrame, sig_of) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        sa = np.stack([sig_of(batch, "a", i) for i in range(len(batch))])
+        sb = np.stack([sig_of(batch, "b", i) for i in range(len(batch))])
+        est = (sa == sb).mean(axis=1)
+        out = batch[["id_a", "id_b"]].copy()
+        out["est_jaccard"] = est
+        return out[est >= threshold]
+
+    # near-dup candidates are normally ≪ corpus: broadcast the candidate
+    # ids, semi-join the sketch table distributed, collect only the
+    # involved signatures, verify in one vectorized stage. Above the
+    # guard, fall back to two keyed bucket-shuffle joins.
+    if candidates.count() <= 500_000:
+        import ray
+
+        pair_rows = candidates.select_columns(["id_a", "id_b"]).take_all()
+        involved = np.array(
+            sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}),
+            dtype=np.int64,
+        )
+        ids_ref = ray.put(involved)
+
+        def semi_join(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.select([id_col, "signature"]).filter(
+                pa.array(np.isin(ids, wanted))
+            )
+
+        matched = sketches.map_batches(semi_join, batch_format="pyarrow").take_all()
+        sig_map = {r[id_col]: np.asarray(r["signature"], dtype=np.int64)
+                   for r in matched}
+        sig_ref = ray.put(sig_map)
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = ray.get(sig_ref)
+            return estimate_frame(
+                batch, lambda b, side, i: sigs[b[f"id_{side}"].iloc[i]]
+            )
+
+        return candidates.map_batches(verify, batch_format="pandas")
+
+    from .relational import hash_join
 
     sig_type = pa.list_(pa.int64())
     cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
@@ -217,16 +268,9 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                    num_buckets=COARSE_BUCKETS)
 
     def estimate(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "est_jaccard": pd.Series(dtype="float64")})
-        sa = np.stack([np.asarray(v, dtype=np.int64) for v in batch["sig_a"]])
-        sb = np.stack([np.asarray(v, dtype=np.int64) for v in batch["sig_b"]])
-        est = (sa == sb).mean(axis=1)
-        out = batch[["id_a", "id_b"]].copy()
-        out["est_jaccard"] = est
-        return out[est >= threshold]
+        return estimate_frame(
+            batch, lambda b, side, i: np.asarray(b[f"sig_{side}"].iloc[i], dtype=np.int64)
+        )
 
     return j2.map_batches(estimate, batch_format="pandas")
 

@@ -105,8 +105,8 @@ def test_hash_join_salted_skew_bounded(ray_session):
 def test_hash_join_auto_buckets():
     from pdf4py_ray.stages.relational import _auto_buckets
 
-    assert _auto_buckets(1_000) == 16            # floor
-    assert _auto_buckets(100_000_000) == 512     # ~250k rows/bucket, pow2
+    assert _auto_buckets(1_000) == 64            # parallelism floor
+    assert _auto_buckets(100_000_000) == 1024    # ~100k rows/bucket, pow2
     assert _auto_buckets(10**12) == 4096         # ceiling
 
 
