@@ -140,6 +140,20 @@ def _extract_write(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _asof_join(sf_dir: str):
+    from pdf4py_ray.stages.relational import asof_join_events_orders
+
+    return asof_join_events_orders(sf_dir)
+
+
+def _dedup_clusters(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import dedup_clusters, minhash_dup_pairs
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_clusters(docs, minhash_dup_pairs(docs))
+
+
 def _exact_dedup(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.dedup import exact_dedup_representatives
@@ -313,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_daily_event_stats": rel.daily_event_stats,
         "q_trailing_event_avg": rel.trailing_event_avg,
         "q_user_sessions": rel.user_sessions,
+        "q_asof_join": _asof_join,
         # dedup family
         "d_exact_dedup": _exact_dedup,
         "d_exact_dup_groups": _exact_dup_groups,
@@ -321,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_ngram_jaccard": _ngram_jaccard,
         "d_ngram_verify": _ngram_verify,
         "d_embedding_dups": _embedding_dups,
+        "d_dedup_clusters": _dedup_clusters,
         # text analysis
         "t_text_stats": _text_stats,
         "t_lang_id": _lang_id,
@@ -348,6 +364,24 @@ _GOLDEN_DIR = os.path.join(_REPO_ROOT, "tests", "golden")
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
+    # connected components over the MinHash pair graph: recursive CTE
+    # enumerates reachable labels, MIN per node = component minimum
+    out["d_dedup_clusters"] = """
+        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (""" + out["d_minhash_pairs"] + """)),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        cc AS (
+          SELECT u AS node, u AS label FROM edges
+          UNION
+          SELECT e.u, c.label FROM edges e JOIN cc c ON e.v = c.node
+        ),
+        lab AS (SELECT node, MIN(label) AS root FROM cc GROUP BY node)
+        SELECT d.doc_id, COALESCE(l.root, d.doc_id) AS cluster_id,
+               COALESCE(l.root, d.doc_id) = d.doc_id AS is_representative
+        FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+    """
     # d_ngram_verify emits the MinHash candidate pairs (the exact-Jaccard
     # verification adds a column the query then drops), so its value
     # oracle is the pair-id projection of the MinHash recomputation
@@ -464,6 +498,17 @@ def _oracle_sql_base() -> dict[str, str]:
                        ) AS rnk
                 FROM orders JOIN customer ON o_custkey = c_custkey
             ) ranked WHERE rnk <= 3
+        """,
+        "q_asof_join": """
+            SELECT event_id, user_id, o_orderkey FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) t WHERE rn = 1
         """,
         "q_region_nation_names": """
             SELECT DISTINCT name FROM (

@@ -601,3 +601,61 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         .groupby("pair_group")
         .map_groups(group_pairs, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------- clustering
+
+
+def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
+                   pair_limit: int = 5_000_000):
+    """Near-dup clustering: connected components over the LSH pair
+    graph; every document gets ``cluster_id`` = the smallest doc id in
+    its component (itself when un-paired) and ``is_representative``.
+
+    Scale shape: the PAIR set after LSH is orders of magnitude smaller
+    than the corpus, so the component labels are computed once with
+    union-find over the collected pairs (guarded by ``pair_limit`` —
+    beyond it, iterate distributed min-label propagation instead) and
+    broadcast via ``ray.put``; the per-document labeling is a
+    distributed vectorized map — the corpus itself never leaves the
+    cluster."""
+    import ray
+
+    n_pairs = pairs_ds.count()
+    if n_pairs > pair_limit:
+        raise NotImplementedError(
+            "pair graph exceeds the driver union-find guard; wire the "
+            "distributed min-label-propagation loop for this corpus"
+        )
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in pairs_ds.select_columns(["id_a", "id_b"]).take_all():
+        ra, rb = find(int(row["id_a"])), find(int(row["id_b"]))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id wins → cluster_id = component min
+    labels = {x: find(x) for x in list(parent)}
+    ref = ray.put(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lab = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = np.fromiter((lab.get(int(i), int(i)) for i in ids),
+                              dtype=np.int64, count=len(ids))
+        out = batch.select([id_col])
+        out = out.append_column("cluster_id", pa.array(cluster, type=pa.int64()))
+        out = out.append_column(
+            "is_representative", pa.array(cluster == ids, type=pa.bool_())
+        )
+        return out
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")

@@ -676,3 +676,67 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(sessions_bucket, batch_format="pandas")
     )
+
+
+def asof_join_events_orders(sf_dir: str, num_buckets: int = 64):
+    """As-of join — Ray Data has no native one (SURVEY §2.6 custom-op
+    list): each event is matched to the SAME user's most recent order
+    with ``o_orderdate <= ts``.
+
+    Plan: both sides are coarse-bucketed by ``hash(key) % B`` (one
+    int64 shuffle key co-locates a user's events with their orders);
+    inside each bucket one vectorized ``pandas.merge_asof``
+    (direction="backward", by=user) does the per-key time alignment.
+    Deterministic tie-break: orders pre-sorted by (date, orderkey), so
+    equal-date ties resolve to the larger orderkey — the same order
+    the SQL ROW_NUMBER oracle picks. Partitioning assumption: a single
+    user's rows fit one bucket's memory (salt the bucket key with a
+    time-range component if a key is pathologically hot)."""
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag(key_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                bucket = ((keys * np.uint64(0x9E3779B97F4A7C15))
+                          % np.uint64(num_buckets)).astype(np.int64)
+            n = len(batch)
+            cols = {
+                "event_id": batch["event_id"] if side == 0 else pa.nulls(n, pa.int64()),
+                "user_id": batch["user_id"] if side == 0 else pa.nulls(n, pa.int64()),
+                "ts": batch["ts"] if side == 0 else pa.nulls(n, pa.timestamp("us")),
+                "o_orderkey": batch["o_orderkey"] if side == 1 else pa.nulls(n, pa.int64()),
+                "o_custkey": batch["o_custkey"] if side == 1 else pa.nulls(n, pa.int64()),
+                "o_orderdate": batch["o_orderdate"] if side == 1 else pa.nulls(n, pa.timestamp("us")),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "side": pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    tagged = events.map_batches(tag("user_id", 0), batch_format="pyarrow").union(
+        orders.map_batches(tag("o_custkey", 1), batch_format="pyarrow")
+    )
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["side"] == 0][["event_id", "user_id", "ts"]].sort_values("ts")
+        od = group[group["side"] == 1][["o_orderkey", "o_custkey", "o_orderdate"]]
+        if not len(ev) or not len(od):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "o_orderkey": pd.Series(dtype="int64")})
+        od = od.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        m = pd.merge_asof(
+            ev.astype({"user_id": "int64"}),
+            od.astype({"o_custkey": "int64", "o_orderkey": "int64"}),
+            left_on="ts", right_on="o_orderdate",
+            left_by="user_id", right_by="o_custkey",
+            direction="backward", allow_exact_matches=True,
+        )
+        m = m[m["o_orderkey"].notna()]
+        out = m[["event_id", "user_id", "o_orderkey"]].astype("int64")
+        return out
+
+    return tagged.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")

@@ -189,3 +189,22 @@ def test_media_sniff():
     assert sniff_media_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
     assert sniff_media_format(b"\x89PNG\r\n") == "png"
     assert sniff_media_format(b"plain") == "unknown"
+
+
+def test_dedup_clusters_union_find(ray_session):
+    """Chained pairs merge into one component labeled by its min id;
+    unpaired docs are their own representatives."""
+    import ray.data as rd
+
+    from pdf4py_ray.stages.dedup import dedup_clusters
+
+    docs = rd.from_items([{"doc_id": i, "text": ""} for i in range(6)])
+    pairs = rd.from_items([
+        {"id_a": 1, "id_b": 3}, {"id_a": 3, "id_b": 5}, {"id_a": 0, "id_b": 4},
+    ])
+    out = {r["doc_id"]: (r["cluster_id"], r["is_representative"])
+           for r in dedup_clusters(docs, pairs).take_all()}
+    assert out == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (1, False), 4: (0, False), 5: (1, False),
+    }

@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "x_extract_metrics",
     "d_minhash_pairs",
     "d_ngram_verify",
+    "d_dedup_clusters",
     "d_simhash_pairs",
     "t_lang_id",
     "t_fingerprints",
@@ -65,6 +66,7 @@ SQL_CHECKED = [
     "q_daily_event_stats",
     "q_trailing_event_avg",
     "q_user_sessions",
+    "q_asof_join",
     "d_exact_dedup",
     "d_exact_dup_groups",
     "d_ngram_jaccard",
@@ -96,8 +98,10 @@ def test_all_oracle_keys_exist_in_queries(entrymod):
 ROWS_ONLY = [
     "d_minhash_pairs",
     "d_ngram_verify",
+    "d_dedup_clusters",
     "d_minhash_pairs",
     "d_ngram_verify",
+    "d_dedup_clusters",
     "d_simhash_pairs",
     "t_lang_id",
     "t_fingerprints",

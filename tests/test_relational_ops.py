@@ -152,3 +152,34 @@ def test_guarded_queries_match_on_forced_fallback(ray_session):
         pd.testing.assert_frame_equal(
             a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
         )
+
+
+def test_asof_join_tie_break_and_no_match(ray_session, tmp_path):
+    """Equal order dates resolve to the larger orderkey; events with no
+    prior order are dropped (inner as-of semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf4py_ray.stages.relational import asof_join_events_orders
+
+    sf = tmp_path
+    ts = pa.array(np.array([100, 50, 10], dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([7, 7, 9], type=pa.int64()),
+        "ts": ts,
+    }), str(sf / "events.parquet"))
+    odate = pa.array(np.array([40, 40, 90], dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([500, 501, 502], type=pa.int64()),
+        "o_custkey": pa.array([7, 7, 7], type=pa.int64()),
+        "o_orderdate": odate,
+    }), str(sf / "orders.parquet"))
+
+    out = asof_join_events_orders(str(sf)).to_pandas().sort_values("event_id")
+    got = list(map(tuple, out[["event_id", "o_orderkey"]].itertuples(index=False)))
+    # event 1 (ts=100): latest order is 502 (date 90);
+    # event 2 (ts=50): two orders tie at date 40 → larger key 501;
+    # event 3: user 9 has no orders → dropped
+    assert got == [(1, 502), (2, 501)]
