@@ -140,6 +140,19 @@ def _extract_write(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _range_join(sf_dir: str):
+    from pdf4py_ray.stages.relational import range_join_orders_events
+
+    return range_join_orders_events(sf_dir)
+
+
+def _hll_registers(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import hll_registers
+
+    return hll_registers(read_table(sf_dir, "events", ["event_type", "user_id"]))
+
+
 def _asof_join(sf_dir: str):
     from pdf4py_ray.stages.relational import asof_join_events_orders
 
@@ -328,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_trailing_event_avg": rel.trailing_event_avg,
         "q_user_sessions": rel.user_sessions,
         "q_asof_join": _asof_join,
+        "q_range_join": _range_join,
+        "t_hll_registers": _hll_registers,
         # dedup family
         "d_exact_dedup": _exact_dedup,
         "d_exact_dup_groups": _exact_dup_groups,
@@ -509,6 +524,34 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM events e JOIN orders o
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) t WHERE rn = 1
+        """,
+        "q_range_join": """
+            SELECT o.o_orderkey,
+                   CAST(COUNT(CASE WHEN e.ts >= o.o_orderdate
+                                    AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+                                   THEN 1 END) AS BIGINT) AS n_events
+            FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
+            GROUP BY o.o_orderkey
+        """,
+        "t_hll_registers": """
+            -- bit-exact HyperLogLog register maxima: md5-lower-64 value
+            -- hash, top-10-bit register index, leading-zero rank of the
+            -- remaining 54 bits (highest-set-bit via integer list ops —
+            -- float log2 is off-by-one near powers of two)
+            WITH h AS (
+              SELECT event_type,
+                     CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS hv
+              FROM events
+            ), r AS (
+              SELECT event_type,
+                     CAST(hv >> 54 AS BIGINT) AS register_idx,
+                     CAST(54 - len(list_filter(range(0, 54),
+                           i -> ((hv & ((CAST(1 AS HUGEINT) << 54) - 1)) >> i) > 0)) + 1
+                          AS BIGINT) AS rank
+              FROM h
+            )
+            SELECT event_type, register_idx, CAST(MAX(rank) AS BIGINT) AS max_rank
+            FROM r GROUP BY event_type, register_idx
         """,
         "q_region_nation_names": """
             SELECT DISTINCT name FROM (

@@ -740,3 +740,58 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 64):
         return out
 
     return tagged.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
+def range_join_orders_events(sf_dir: str, days: int = 7, num_buckets: int = 64):
+    """Range (interval) join — the other custom-op shape Ray Data
+    lacks: per order, the number of the same user's events inside
+    ``[o_orderdate, o_orderdate + days)``.
+
+    Same physical plan as the as-of join: key-bucket shuffle co-locates
+    a user's orders and events; inside each bucket a vectorized pandas
+    merge on the key + interval mask + groupby count. The per-key
+    cross-product is bounded by per-user cardinality (salt the bucket
+    key with a time-range component for pathological keys)."""
+    events = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag(key_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                bucket = ((keys * np.uint64(0x9E3779B97F4A7C15))
+                          % np.uint64(num_buckets)).astype(np.int64)
+            n = len(batch)
+            return pa.table({
+                "user_id": batch["user_id"] if side == 0 else pa.nulls(n, pa.int64()),
+                "ts": batch["ts"] if side == 0 else pa.nulls(n, pa.timestamp("us")),
+                "o_orderkey": batch["o_orderkey"] if side == 1 else pa.nulls(n, pa.int64()),
+                "o_custkey": batch["o_custkey"] if side == 1 else pa.nulls(n, pa.int64()),
+                "o_orderdate": batch["o_orderdate"] if side == 1 else pa.nulls(n, pa.timestamp("us")),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "side": pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
+            })
+
+        return fn
+
+    tagged = events.map_batches(tag("user_id", 0), batch_format="pyarrow").union(
+        orders.map_batches(tag("o_custkey", 1), batch_format="pyarrow")
+    )
+
+    def count_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["side"] == 0][["user_id", "ts"]]
+        od = group[group["side"] == 1][["o_orderkey", "o_custkey", "o_orderdate"]]
+        if not len(od):
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        m = od.astype({"o_custkey": "int64", "o_orderkey": "int64"}).merge(
+            ev.astype({"user_id": "int64"}),
+            left_on="o_custkey", right_on="user_id", how="left",
+        )
+        inside = (m["ts"] >= m["o_orderdate"]) & (
+            m["ts"] < m["o_orderdate"] + pd.Timedelta(days=days)
+        )
+        m["hit"] = inside.fillna(False).astype("int64")
+        return m.groupby("o_orderkey", as_index=False).agg(n_events=("hit", "sum"))
+
+    return tagged.groupby("bucket").map_groups(count_bucket, batch_format="pandas")

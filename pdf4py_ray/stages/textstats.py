@@ -147,3 +147,89 @@ def shuffled_sample(ds, n: int = 100, seed: int = 42):
     """Seeded global ``random_shuffle`` (the pre-epoch shuffle of a
     training pipeline — an all-to-all) + take-n."""
     return ds.random_shuffle(seed=seed).limit(n)
+
+
+class HllPartial:
+    """Actor stage: per-batch HyperLogLog register partials for
+    approximate distinct counting (the sketch pattern: tiny mergeable
+    state instead of a distinct shuffle).
+
+    Register layout (b=10 → 1024 registers over the md5-lower-64 value
+    hash): register index = top 10 bits, rank = leading zeros of the
+    remaining 54 bits + 1. Every step is integer-exact, so a DuckDB
+    oracle recomputes the register maxima bit-for-bit — the sketch
+    itself is value-gated, while the cardinality estimate derived from
+    it is pinned by tolerance tests."""
+
+    B_BITS = 10
+    REST_BITS = 54
+
+    def __init__(self, key_col: str, val_col: str) -> None:
+        self.key_col = key_col
+        self.val_col = val_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"key": [], "register_idx": [], "max_rank": []}
+        mask = (1 << self.REST_BITS) - 1
+        for key, vals in batch.groupby(self.key_col)[self.val_col]:
+            regs: dict = {}
+            for v in vals:
+                h = md5_lower64(str(v))
+                idx = h >> self.REST_BITS
+                rest = h & mask
+                rank = self.REST_BITS - rest.bit_length() + 1
+                if rank > regs.get(idx, 0):
+                    regs[idx] = rank
+            for idx, rank in regs.items():
+                rows["key"].append(key)
+                rows["register_idx"].append(idx)
+                rows["max_rank"].append(rank)
+        return pd.DataFrame({
+            self.key_col: rows["key"],
+            "register_idx": pd.Series(rows["register_idx"], dtype="int64"),
+            "max_rank": pd.Series(rows["max_rank"], dtype="int64"),
+        })
+
+
+def hll_registers(ds, key_col: str = "event_type", val_col: str = "user_id",
+                  batch_size: int = 8192, concurrency=(2, 8)):
+    """Distinct-count sketch registers per key: per-batch partials
+    (each batch emits at most 1024 register rows per key — the
+    combiner), then one small groupby takes the elementwise max."""
+    partials = ds.map_batches(
+        HllPartial,
+        fn_constructor_kwargs={"key_col": key_col, "val_col": val_col},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    # one Ray group per KEY (few), elementwise max vectorized inside —
+    # a multi-key Ray aggregate would pay per-group overhead across
+    # keys × 1024 registers
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby([key_col, "register_idx"], as_index=False).agg(
+            max_rank=("max_rank", "max")
+        )
+
+    return partials.groupby(key_col).map_groups(combine, batch_format="pandas")
+
+
+def hll_estimate(registers: pd.DataFrame, key_col: str = "event_type",
+                 b: int = 10) -> pd.DataFrame:
+    """Cardinality estimate from register maxima (standard HLL formula
+    with the small-range linear-counting correction)."""
+    import math
+
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = []
+    for key, grp in registers.groupby(key_col):
+        regs = np.zeros(m)
+        regs[grp["register_idx"].to_numpy()] = grp["max_rank"].to_numpy()
+        est = alpha * m * m / np.sum(np.exp2(-regs))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        out.append({key_col: key, "distinct_est": float(est)})
+    return pd.DataFrame(out)

@@ -208,3 +208,26 @@ def test_dedup_clusters_union_find(ray_session):
         0: (0, True), 1: (1, True), 2: (2, True),
         3: (1, False), 4: (0, False), 5: (1, False),
     }
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """HLL estimate from the sketch registers lands within the
+    standard-error envelope of the exact distinct count (b=10 →
+    sigma ~ 3.25%; assert 4 sigma)."""
+    import duckdb
+    import ray.data as rd
+
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import hll_estimate, hll_registers
+
+    SF = "/root/testdata/sf0.01"
+    regs = hll_registers(read_table(SF, "events", ["event_type", "user_id"])).to_pandas()
+    est = hll_estimate(regs).set_index("event_type")["distinct_est"]
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY event_type"
+    ).df().set_index("event_type")["n"]
+    assert set(est.index) == set(exact.index)
+    for k in exact.index:
+        rel_err = abs(est[k] - exact[k]) / exact[k]
+        assert rel_err < 0.13, (k, est[k], exact[k])

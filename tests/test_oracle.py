@@ -67,6 +67,8 @@ SQL_CHECKED = [
     "q_trailing_event_avg",
     "q_user_sessions",
     "q_asof_join",
+    "q_range_join",
+    "t_hll_registers",
     "d_exact_dedup",
     "d_exact_dup_groups",
     "d_ngram_jaccard",
