@@ -147,6 +147,34 @@ class PdfDocument:
         self.xref = XrefIndex(list(reversed(sections_oldest_first)))
         return trailer
 
+    _XREF_BLANKS = b"\x00\t\n\x0c\r "
+
+    def _xref_records_fast(self, start: int, count: int):
+        """Slice a well-formed fixed-width record block (ISO 32000
+        §7.5.4: exactly 20 bytes per record) without tokenizing —
+        ~3 token calls per record otherwise dominate index builds on
+        small documents. Returns parsed (offset, gen, kind) triples,
+        or None when the block is not strictly fixed-width (caller
+        falls back to the token loop)."""
+        buf = self.buf
+        n = len(buf)
+        pos = self.tok.pos
+        while pos < n and buf[pos] in self._XREF_BLANKS:
+            pos += 1
+        end = pos + 20 * count
+        if end > n:
+            return None
+        out = []
+        for i in range(pos, end, 20):
+            rec = buf[i : i + 20]
+            if (rec[10] != 0x20 or rec[16] != 0x20
+                    or rec[17] not in (0x6E, 0x66)  # n / f
+                    or not rec[:10].isdigit() or not rec[11:16].isdigit()):
+                return None
+            out.append((int(rec[:10]), int(rec[11:16]), chr(rec[17])))
+        self.tok.seek(end)
+        return out
+
     def _parse_xref_table(self):
         """Classic ``xref`` section: subsections of 20-byte records."""
         in_use: dict = {}
@@ -158,15 +186,20 @@ class PdfDocument:
             count = tok.next()
             if not isinstance(count, int):
                 raise PdfSyntaxError("Expected the number of entries in the xref subsection.")
-            for i in range(count):
-                offset = tok.next()
-                gen = tok.next()
-                marker = tok.next()
-                if not isinstance(offset, int) or not isinstance(gen, int):
-                    raise PdfSyntaxError("Malformed xref record.")
-                kind = getattr(marker, "value", None)
-                if kind not in ("n", "f"):
-                    raise PdfSyntaxError("Expected 'n' or 'f' xref record marker.")
+            records = self._xref_records_fast(start, count)
+            if records is None:
+                records = []
+                for _ in range(count):
+                    offset = tok.next()
+                    gen = tok.next()
+                    marker = tok.next()
+                    if not isinstance(offset, int) or not isinstance(gen, int):
+                        raise PdfSyntaxError("Malformed xref record.")
+                    kind = getattr(marker, "value", None)
+                    if kind not in ("n", "f"):
+                        raise PdfSyntaxError("Expected 'n' or 'f' xref record marker.")
+                    records.append((offset, gen, kind))
+            for i, (offset, gen, kind) in enumerate(records):
                 if start == 0 and i == 0:
                     continue  # head of the free list — unused
                 if kind == "n":
