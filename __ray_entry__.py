@@ -95,10 +95,43 @@ def _extract_turns(sf_dir: str):
 
 
 def _extract_spans(sf_dir: str):
+    """Span offsets flattened to scalar rows (conv_id, turn_idx,
+    span_idx, start, end, kind) — golden-parquet value gate."""
+    import numpy as np
+    import pyarrow as pa
+
     from pdf4py_ray.pipelines.extract_pipeline import run_extraction
 
-    ds = run_extraction(sf_dir, out_dir=None, num_partitions=16, concurrency=(1, 8))
-    return ds.select_columns(["conv_id", "turn_idx", "spans"])
+    # unsorted: spans need no global order (the flattened rows carry
+    # their own keys) and the pyarrow blocks keep the list type intact
+    ds = run_extraction(sf_dir, out_dir=None, num_partitions=16,
+                        concurrency=(1, 8), sort=False)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        rows = {"conv_id": [], "turn_idx": [], "span_idx": [],
+                "start": [], "end": [], "kind": []}
+        for conv, idx, spans in zip(batch["conv_id"].to_pylist(),
+                                    batch["turn_idx"].to_pylist(),
+                                    batch["spans"].to_pylist()):
+            for si, sp in enumerate(spans or []):
+                rows["conv_id"].append(conv)
+                rows["turn_idx"].append(idx)
+                rows["span_idx"].append(si)
+                rows["start"].append(sp["start"])
+                rows["end"].append(sp["end"])
+                rows["kind"].append(sp["kind"])
+        return pa.table({
+            "conv_id": pa.array(rows["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+            "span_idx": pa.array(rows["span_idx"], type=pa.int32()),
+            "start": pa.array(rows["start"], type=pa.int32()),
+            "end": pa.array(rows["end"], type=pa.int32()),
+            "kind": pa.array(rows["kind"], type=pa.string()),
+        })
+
+    return ds.select_columns(["conv_id", "turn_idx", "spans"]).map_batches(
+        flatten, batch_format="pyarrow"
+    )
 
 
 def _extract_metrics(sf_dir: str):
@@ -421,6 +454,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "x_extract_metrics": f"""
             SELECT kind, status, n_turns, payload_bytes
             FROM read_parquet('{_GOLDEN_DIR}/x_extract_metrics_sf001.parquet')
+        """,
+        "x_extract_spans": f"""
+            SELECT conv_id, turn_idx, span_idx, start, "end", kind
+            FROM read_parquet('{_GOLDEN_DIR}/x_extract_spans_sf001.parquet')
         """,
         "x_extract_write": f"""
             SELECT part_id, rows, errors

@@ -160,11 +160,15 @@ def main() -> None:
             "q_orders_per_nation",
             "q_local_supplier_revenue",
             "q_daily_event_stats",
+            "q_asof_join",
+            "q_range_join",
             "d_exact_dedup",
             "d_minhash_pairs",
             "d_simhash_pairs",
             "d_ngram_jaccard",
             "t_text_stats",
+            "t_hll_registers",
+            "d_dedup_clusters",
             "s_knn_brute",
             "s_knn_ivf",
             "d_embedding_dups",

@@ -49,6 +49,13 @@ def main() -> None:
     pq.write_table(m, os.path.join(OUT, "x_extract_metrics_sf001.parquet"))
     print("x_extract_metrics golden:", m.num_rows, "rows")
 
+    spans = q["x_extract_spans"](SF)
+    sp = pa.concat_tables(spans.iter_batches(batch_format="pyarrow"))
+    sp = sp.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
+                     ("span_idx", "ascending")])
+    pq.write_table(sp, os.path.join(OUT, "x_extract_spans_sf001.parquet"))
+    print("x_extract_spans golden:", sp.num_rows, "rows")
+
     # deterministic under the fixed 16-way hash partitioning
     w = pa.Table.from_pandas(q["x_extract_write"](SF), preserve_index=False)
     w = w.sort_by([("part_id", "ascending")])

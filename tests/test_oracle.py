@@ -41,6 +41,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_CHECKED = [
     "x_extract_turns",
+    "x_extract_spans",
     "x_extract_write",
     "m_media_decode",
     "m_frame_sample",
