@@ -637,7 +637,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ) dup_groups
         """,
         "d_ngram_jaccard": """
-            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 256),
+            WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE doc_id < 256),
             grams AS (
                 SELECT DISTINCT doc_id,
                        unnest([substring(text, CAST(i AS INT), 5)
@@ -686,11 +686,11 @@ def _oracle_sql_base() -> dict[str, str]:
                    * (1.0 - CASE WHEN length(text) > 0
                         THEN CAST(array_length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
                         ELSE 0.0 END) AS quality_score
-            FROM documents
+            FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents) documents
         """,
         "t_lang_id": """
             WITH w AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws FROM documents
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-zà-ÿ]+') AS ws FROM documents
             ), s AS (
               SELECT doc_id,
                 CASE WHEN len(ws)=0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as'))) AS DOUBLE)/len(ws) END AS s_en,
@@ -713,7 +713,7 @@ def _oracle_sql_base() -> dict[str, str]:
             -- Rabin-Karp min-fingerprint, word hashes = md5_number_lower,
             -- all arithmetic mod the Mersenne prime 2^61-1 (HUGEINT-exact)
             WITH w AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws FROM documents
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-zà-ÿ]+') AS ws FROM documents
             ), h AS (
               SELECT doc_id, list_transform(ws, x -> CAST(md5_number_lower(x) AS HUGEINT) % 2305843009213693951) AS hs FROM w
             )
@@ -731,7 +731,7 @@ def _oracle_sql_base() -> dict[str, str]:
             -- LSH candidacy = any of 16 four-slot bands equal, estimate
             -- = matching-permutation fraction >= 0.8
             WITH w AS (
-              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'), x -> x <> '') AS ws
               FROM documents
             ), g AS (
               SELECT doc_id, CASE
@@ -763,7 +763,7 @@ def _oracle_sql_base() -> dict[str, str]:
             -- full SimHash recomputation: md5-lower-64 word hashes, sign
             -- aggregation per bit, 63-bit fingerprints, Hamming <= 3
             WITH w AS (
-              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'), x -> x <> '') AS ws
               FROM documents
             ), h AS (
               SELECT doc_id, list_transform(ws, x -> CAST(md5_number_lower(x) AS HUGEINT)) AS hs FROM w

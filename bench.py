@@ -104,8 +104,10 @@ def bench_extract() -> tuple:
 
         out_dir = f"/tmp/pdf4py_ray_gate_out_{os.getpid()}"
         shutil.rmtree(out_dir, ignore_errors=True)
-        splits = sample_split_points(turns_dir, num_buckets=max(64, NUM_CPUS * 2))
+        # split-point sampling is part of the external sort's real cost
+        # (O(sample) — a few row groups of one column), so it is timed
         t0 = time.perf_counter()
+        splits = sample_split_points(turns_dir, num_buckets=max(64, NUM_CPUS * 2))
         ds = extraction_from_parquet(
             turns_dir,
             num_partitions=max(32, NUM_CPUS * 2),

@@ -98,28 +98,26 @@ def test_all_oracle_keys_exist_in_queries(entrymod):
         assert key in q
 
 
-ROWS_ONLY = [
-    "d_minhash_pairs",
-    "d_ngram_verify",
-    "d_dedup_clusters",
-    "d_minhash_pairs",
-    "d_ngram_verify",
-    "d_dedup_clusters",
-    "d_simhash_pairs",
-    "t_lang_id",
-    "t_fingerprints",
-    "s_knn_lsh",
-    "m_media_decode",
-    "m_frame_sample",
+def test_every_query_is_gated_or_listed(entrymod):
+    """Every queries() entry is either SQL-oracle-gated (SQL_CHECKED,
+    matching oracle_sql()) or explicitly listed as NO_ORACLE."""
+    gated = set(entrymod.oracle_sql())
+    assert gated == set(SQL_CHECKED)
+    assert set(entrymod.queries()) == gated | set(NO_ORACLE)
+
+
+# queries with no oracle_sql entry (driver records a rows-only check);
+# everything else is covered by SQL_CHECKED above
+NO_ORACLE = [
+    "t_shuffled_sample",
 ]
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(ray_session, entrymod, name):
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_no_oracle_queries_run(ray_session, entrymod, name):
     res = result_to_pandas(entrymod.queries()[name](SF_DIR))
     assert res is not None
-    if name in ("t_lang_id", "t_fingerprints", "m_media_decode"):
-        assert len(res) > 0
+    assert len(res) > 0
 
 
 def test_entry_smoke(ray_session, entrymod):
