@@ -262,10 +262,10 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     sigs_a, siga_schema = sig_side("a")
     sigs_b, sigb_schema = sig_side("b")
     j1 = hash_join(candidates, sigs_a, "id_a", "sid_a", cand_schema, siga_schema,
-                   num_buckets=COARSE_BUCKETS)
+                   num_buckets=COARSE_BUCKETS, salt=1)
     j1_schema = pa.schema(list(cand_schema) + list(siga_schema))
     j2 = hash_join(j1, sigs_b, "id_b", "sid_b", j1_schema, sigb_schema,
-                   num_buckets=COARSE_BUCKETS)
+                   num_buckets=COARSE_BUCKETS, salt=1)
 
     def estimate(batch: pd.DataFrame) -> pd.DataFrame:
         return estimate_frame(
@@ -383,7 +383,8 @@ def char_grams(s: str, n: int = 5) -> set:
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 5, threshold: float = 0.5,
-                        id_limit: int | None = None):
+                        id_limit: int | None = None,
+                        max_gram_df: int | None = 10_000):
     """Exact char-n-gram Jaccard pairs via a distributed inverted index.
 
     Scale path (no quadratic all-pairs pass over text): per-doc
@@ -395,6 +396,17 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     the candidate universe (the all-pairs semantics are only sensible
     on a bounded or pre-filtered set; unbounded corpora should use
     :func:`minhash_dup_pairs` + :func:`ngram_jaccard_verify`).
+
+    ``max_gram_df`` is the hot-gram guard: a gram shared by k docs
+    emits k² pair rows from the self-merge, so one stop-gram ("e the ")
+    in a large corpus is quadratic. Grams whose document frequency
+    exceeds the cap are dropped before pairing (standard stop-gram
+    filtering) and the drop is logged — never silent. All of a gram's
+    postings share one coarse bucket (bucket = gram % B), so the df
+    count is a local ``transform('size')``, no extra shuffle. Results
+    are exact whenever no gram exceeds the cap; beyond it, dropped
+    grams shrink intersections (Jaccard biases low — candidates, not
+    certificates). ``max_gram_df=None`` disables the guard.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     if id_limit is not None:
@@ -420,6 +432,17 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # vectorized inverted-index pair counting: a self-merge on gram
         # (C-speed) instead of a Python loop over gram groups
         df = coarse[["gram", id_col, "n_grams"]].drop_duplicates(["gram", id_col])
+        if max_gram_df is not None and len(df):
+            gram_df = df.groupby("gram", sort=False)["gram"].transform("size")
+            hot = gram_df > max_gram_df
+            if hot.any():
+                n_hot = int(df.loc[hot, "gram"].nunique())
+                print(
+                    f"[ngram_jaccard_pairs] dropped {n_hot} hot grams "
+                    f"(df > {max_gram_df}) covering {int(hot.sum())} postings",
+                    flush=True,
+                )
+                df = df[~hot]
         m = df.merge(df, on="gram", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         if not len(m):
@@ -467,18 +490,75 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _ngram_verify_joined(ds, pairs_ds, text_col: str, id_col: str, n: int,
+                         n_pairs: int):
+    """Above-the-guard verify path: candidate texts attach through two
+    keyed bucket-shuffle joins (no driver collect of pairs or texts);
+    the exact per-pair Jaccard runs vectorized over the joined rows.
+    Shuffle volume is O(|pairs| + corpus-scan for the two tag passes),
+    output columns match the broadcast path (pair ids + jaccard)."""
+    from .relational import hash_join
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    text_type = pa.string()
+
+    def side(suffix: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                f"tid_{suffix}": batch[id_col],
+                f"text_{suffix}": batch[text_col],
+            })
+
+        schema = pa.schema([(f"tid_{suffix}", pa.int64()),
+                            (f"text_{suffix}", text_type)])
+        return (
+            ds.select_columns([id_col, text_col]).map_batches(
+                rename, batch_format="pyarrow"
+            ),
+            schema,
+        )
+
+    texts_a, ta_schema = side("a")
+    texts_b, tb_schema = side("b")
+    pairs = pairs_ds.select_columns(["id_a", "id_b"])
+    j1 = hash_join(pairs, texts_a, "id_a", "tid_a", pair_schema, ta_schema,
+                   rows_hint=n_pairs * 2, salt=1)
+    j1_schema = pa.schema(list(pair_schema) + list(ta_schema))
+    j2 = hash_join(j1, texts_b, "id_b", "tid_b", j1_schema, tb_schema,
+                   rows_hint=n_pairs * 2, salt=1)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        jac = []
+        for ta, tb in zip(batch["text_a"], batch["text_b"]):
+            ga, gb = char_grams(ta or "", n), char_grams(tb or "", n)
+            union = len(ga | gb)
+            jac.append(len(ga & gb) / union if union else 0.0)
+        out = batch[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
 def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "doc_id",
-                         n: int = 5):
+                         n: int = 5, candidate_limit: int = 500_000):
     """Exact char-n-gram Jaccard for candidate pairs.
 
-    The candidate set is small by construction (LSH output), so the
-    candidate *ids* are broadcast once (``ray.put``), a distributed
-    semi-join filters the corpus down to just the involved documents
-    (never a driver-side corpus scan), and only those few texts are
-    collected and re-broadcast for the vectorized pair verification.
+    The candidate set is normally small by construction (LSH output),
+    so under ``candidate_limit`` the candidate *ids* are broadcast once
+    (``ray.put``), a distributed semi-join filters the corpus down to
+    just the involved documents (never a driver-side corpus scan), and
+    only those few texts are collected and re-broadcast for the
+    vectorized pair verification. Beyond the guard (mirroring
+    :func:`minhash_dup_pairs`'s 500k-candidate rule) nothing is
+    collected: texts attach through keyed bucket-shuffle joins
+    (:func:`_ngram_verify_joined`).
     """
     import ray
 
+    n_pairs = pairs_ds.count()
+    if n_pairs > candidate_limit:
+        return _ngram_verify_joined(ds, pairs_ds, text_col, id_col, n, n_pairs)
     pair_rows = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
     involved = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
     if not involved:
@@ -507,8 +587,9 @@ def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "do
             ga, gb = char_grams(lookup.get(a, ""), n), char_grams(lookup.get(b, ""), n)
             union = len(ga | gb)
             jac.append(len(ga & gb) / union if union else 0.0)
-        batch["jaccard"] = jac
-        return batch
+        out = batch[["id_a", "id_b"]].copy()  # same projection as the joined path
+        out["jaccard"] = jac
+        return out
 
     return pairs_ds.map_batches(verify, batch_format="pandas")
 
@@ -606,6 +687,202 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
 # ---------------------------------------------------------------- clustering
 
 
+def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ((keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(num_buckets)).astype(np.int64)
+
+
+def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
+                           max_rounds: int = 100):
+    """Connected-component labels over a pair graph too large for the
+    driver: iterated distributed min-label propagation.
+
+    Each round is two coarse-bucket shuffles over (node, label) rows —
+    never over the corpus: (1) labels are co-located with the edges
+    pointing AT their node (bucket by hash(edge.v)) and every edge
+    emits its neighbor's current label as a candidate for ``u``;
+    (2) candidates are re-bucketed by hash(node) and combined with a
+    vectorized per-bucket min; (3) one pointer-jumping shuffle applies
+    ``label(u) ← label(label(u))`` (every label value is itself a graph
+    node, so the lookup always hits), which shortcuts long paths and
+    makes the round count O(log diameter) instead of O(diameter).
+    Labels only ever decrease and include the node's own current
+    label, so ``sum(label)`` is strictly decreasing until fixpoint —
+    the convergence probe is one cheap aggregate per round, no extra
+    join. Near-dup components are cliquish, so typically 2-3 rounds.
+
+    Returns a Dataset of (node:int64, label:int64) with
+    label = min node id of the component. Nodes not in any pair are
+    absent (callers default them to self)."""
+    from ray.data.aggregate import Sum
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "node": pa.array(u, type=pa.int64()),
+            "label": pa.nulls(len(u), type=pa.int64()),
+            "peer": pa.array(v, type=pa.int64()),
+            "bucket": pa.array(_bucket_of(v, num_buckets), type=pa.int64()),
+            "side": pa.array(np.zeros(len(u), dtype=np.int8), type=pa.int8()),
+        })
+
+    edges = pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+        both_dirs, batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+        }))
+
+    def init_labels(group: pd.DataFrame) -> pd.DataFrame:
+        nodes = group["node"].drop_duplicates().to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    def bucket_by_node(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "nbucket", pa.array(_bucket_of(nodes, num_buckets), type=pa.int64())
+        )
+
+    labels = (
+        edges.map_batches(bucket_by_node, batch_format="pyarrow")
+        .groupby("nbucket")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(nodes)
+        return pa.table({
+            "node": batch["node"],
+            "label": batch["label"],
+            "peer": pa.nulls(n, type=pa.int64()),
+            "bucket": pa.array(_bucket_of(nodes, num_buckets), type=pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
+        })
+
+    def propose(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group["side"] == 1][["node", "label"]]
+        edg = group[group["side"] == 0][["node", "peer"]]
+        # neighbor candidates: edge (u ← peer) picks up peer's label
+        m = edg.merge(lab, left_on="peer", right_on="node",
+                      suffixes=("", "_peer"))
+        cand = m[["node", "label"]]
+        # own current label rides along (labels never increase)
+        return pd.concat([cand, lab], ignore_index=True)
+
+    def min_label(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("node", as_index=False).agg(label=("label", "min"))
+        out["label"] = out["label"].astype("int64")  # null-pad float back to int
+        return out
+
+    def tag_for_jump(side: int):
+        # side 0: (node, label) keyed by LABEL (the lookup target);
+        # side 1: the label table itself keyed by node
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch["label" if side == 0 else "node"].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            n = len(batch)
+            return pa.table({
+                "node": batch["node"],
+                "label": batch["label"],
+                "bucket": pa.array(_bucket_of(key, num_buckets), type=pa.int64()),
+                "side": pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
+            })
+
+        return fn
+
+    def jump(group: pd.DataFrame) -> pd.DataFrame:
+        ask = group[group["side"] == 0][["node", "label"]]
+        lut = group[group["side"] == 1][["node", "label"]].rename(
+            columns={"node": "tgt", "label": "tgt_label"}
+        )
+        m = ask.merge(lut, left_on="label", right_on="tgt")
+        out = m[["node", "tgt_label"]].rename(columns={"tgt_label": "label"})
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        tagged = edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        labels = (
+            tagged.groupby("bucket")
+            .map_groups(propose, batch_format="pandas")
+            .map_batches(bucket_by_node, batch_format="pyarrow")
+            .groupby("nbucket")
+            .map_groups(min_label, batch_format="pandas")
+            .materialize()  # consumed twice by the jump's two sides
+        )
+        # pointer jumping: each node appears exactly once, so the jump
+        # output needs no re-combine
+        labels = (
+            labels.map_batches(tag_for_jump(0), batch_format="pyarrow")
+            .union(labels.map_batches(tag_for_jump(1), batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(jump, batch_format="pandas")
+            .materialize()
+        )
+        agg = labels.aggregate(Sum("label", alias_name="s"))
+        total = (agg or {}).get("s") or 0
+        if total == prev_sum:
+            return labels
+        prev_sum = total
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} rounds"
+    )
+
+
+def _assign_labels_distributed(docs_ds, labels_ds, id_col: str,
+                               num_buckets: int = COARSE_BUCKETS):
+    """Left-join cluster labels onto the corpus as one bucket shuffle;
+    unlabeled (never-paired) docs default to their own id."""
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "label": pa.nulls(n, type=pa.int64()),
+            "bucket": pa.array(_bucket_of(ids, num_buckets), type=pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8), type=pa.int8()),
+        })
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(nodes)
+        return pa.table({
+            id_col: pa.array(nodes, type=pa.int64()),
+            "label": batch["label"],
+            "bucket": pa.array(_bucket_of(nodes, num_buckets), type=pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
+        })
+
+    tagged = docs_ds.select_columns([id_col]).map_batches(
+        tag_docs, batch_format="pyarrow"
+    ).union(labels_ds.map_batches(tag_labels, batch_format="pyarrow"))
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        docs = group[group["side"] == 0][[id_col]]
+        lab = group[group["side"] == 1][[id_col, "label"]].rename(
+            columns={"label": "cluster_id"}
+        )
+        m = docs.merge(lab, on=id_col, how="left")
+        m["cluster_id"] = m["cluster_id"].fillna(m[id_col]).astype("int64")
+        m["is_representative"] = m["cluster_id"] == m[id_col]
+        return m
+
+    return tagged.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
 def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
                    pair_limit: int = 5_000_000):
     """Near-dup clustering: connected components over the LSH pair
@@ -613,20 +890,22 @@ def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
     its component (itself when un-paired) and ``is_representative``.
 
     Scale shape: the PAIR set after LSH is orders of magnitude smaller
-    than the corpus, so the component labels are computed once with
-    union-find over the collected pairs (guarded by ``pair_limit`` —
-    beyond it, iterate distributed min-label propagation instead) and
+    than the corpus, so under ``pair_limit`` the component labels are
+    computed once with union-find over the collected pairs and
     broadcast via ``ray.put``; the per-document labeling is a
     distributed vectorized map — the corpus itself never leaves the
-    cluster."""
+    cluster. Beyond the guard (a high-dup-rate 100 TB corpus), the
+    labels come from :func:`distributed_components` — iterated
+    min-label propagation, two bucket shuffles over (node, label) rows
+    per round — and attach through a distributed bucket left-join
+    (:func:`_assign_labels_distributed`); nothing is ever collected to
+    the driver. Force the distributed path with ``pair_limit=0``."""
     import ray
 
     n_pairs = pairs_ds.count()
     if n_pairs > pair_limit:
-        raise NotImplementedError(
-            "pair graph exceeds the driver union-find guard; wire the "
-            "distributed min-label-propagation loop for this corpus"
-        )
+        labels = distributed_components(pairs_ds)
+        return _assign_labels_distributed(docs_ds, labels, id_col)
     parent: dict = {}
 
     def find(x: int) -> int:

@@ -103,16 +103,21 @@ BROADCAST_ROW_LIMIT = 2_000_000
 def join_auto(large, small, on: str, right_on: str,
               large_schema: pa.Schema, small_schema: pa.Schema,
               broadcast_limit: int = BROADCAST_ROW_LIMIT,
-              rows_hint: int | None = None):
+              rows_hint: int | None = None, salt: int | None = None):
     """Inner join that picks its physical plan by the small side's
     *measured* size: a broadcast map-join (small side collected once,
     ``ray.put``, vectorized pandas merge per batch — no shuffle) when
     it fits under ``broadcast_limit`` rows, else the bucket-shuffle
     :func:`hash_join`. ``small.count()`` is metadata-cheap on raw
-    parquet reads."""
+    parquet reads. Pass ``rows_hint`` (e.g. parquet-footer counts)
+    when ``large`` is a DERIVED pipeline: without it the fallback
+    sizes buckets from the already-measured small side (×8 fan guess)
+    rather than ``large.count()``, which would execute the whole
+    upstream pipeline once just to pick a bucket count."""
     import ray
 
-    if small.count() <= broadcast_limit:
+    small_rows = small.count()
+    if small_rows <= broadcast_limit:
         small_df = small.to_pandas()
         ref = ray.put(small_df)
 
@@ -121,7 +126,8 @@ def join_auto(large, small, on: str, right_on: str,
 
         return large.map_batches(bj, batch_format="pandas", batch_size=65536)
     return hash_join(large, small, on, right_on, large_schema, small_schema,
-                     rows_hint=rows_hint)
+                     rows_hint=rows_hint if rows_hint is not None else small_rows * 8,
+                     salt=salt)
 
 
 def revenue_by_segment(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT):
@@ -168,10 +174,39 @@ def _auto_buckets(rows_hint: int) -> int:
     return int(min(4096, max(64, 1 << (want - 1).bit_length())))
 
 
+_SALT_SAMPLE_ROWS = 65_536
+
+
+def _detect_salt(left, on: str, sample_rows: int = _SALT_SAMPLE_ROWS) -> int:
+    """Bounded probe-side skew probe: the first ``sample_rows`` key
+    values (projection-pushed ``limit`` — streaming early-stop, never
+    a full pass) are frequency-counted; a key holding more than 1/8 of
+    the sample triggers salting, scaled to its share. Head sampling is
+    biased toward the first blocks — for key-sorted inputs that biases
+    toward MORE salting (bounded at 16× build replication), never
+    toward missing a hot key that dominates globally but not locally…
+    which the per-bucket merge would still survive via spill."""
+    try:
+        sample = left.select_columns([on]).limit(sample_rows).to_pandas()[on]
+    except Exception:
+        return 1
+    n = len(sample)
+    if n < 1024:
+        return 1
+    share = sample.value_counts(sort=True).iloc[0] / n
+    if share > 0.5:
+        return 16
+    if share > 0.25:
+        return 8
+    if share > 0.125:
+        return 4
+    return 1
+
+
 def hash_join(left, right, on: str, right_on: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
               num_buckets: int | None = None, rows_hint: int | None = None,
-              salt: int = 1):
+              salt: int | None = None):
     """Distributed inner hash join as a bucket shuffle: both sides are
     tagged with ``hash(key) % num_buckets``, unioned (columns of the
     other side padded with typed nulls so the Arrow schema unifies),
@@ -194,10 +229,16 @@ def hash_join(left, right, on: str, right_on: str,
     bucket, and every *right* (build) row is replicated into all
     ``salt`` sub-buckets — so one hot key's probe rows spread over
     ``salt`` merge tasks at the cost of ``salt``× build-side shuffle
-    volume. Put the large skewed side on the left."""
+    volume. Put the large skewed side on the left. ``salt=None`` (the
+    default) AUTO-detects skew with :func:`_detect_salt` — a bounded
+    head sample of probe keys; pass ``salt=1`` explicitly when the key
+    is known near-unique (e.g. the dedup pair-id joins) to skip the
+    probe."""
     left_names = [f.name for f in left_schema]
     right_names = [f.name for f in right_schema]
     assert not (set(left_names) & set(right_names)), "join sides must not share names"
+    if salt is None:
+        salt = _detect_salt(left, on)
     assert salt >= 1
     unified = list(left_schema) + list(right_schema)
     if num_buckets is None:
@@ -505,12 +546,17 @@ def local_supplier_revenue(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIM
             .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
         )
 
-    # a dim outgrew the guard: chain bucket-shuffle joins instead
+    # a dim outgrew the guard: chain bucket-shuffle joins instead —
+    # bucket sizing from parquet-footer counts (lineitem rows bound the
+    # joined cardinality), never a count() of the derived left side
+    line_rows = _table_rows(sf_dir, "lineitem")
     j2 = join_auto(joined, cust, "o_custkey", "c_custkey",
-                   lo_schema, c_schema, broadcast_limit)
+                   lo_schema, c_schema, broadcast_limit,
+                   rows_hint=line_rows + _table_rows(sf_dir, "customer"), salt=1)
     j3 = join_auto(j2, supp, "l_suppkey", "s_suppkey",
                    pa.schema(list(lo_schema) + list(c_schema)), s_schema,
-                   broadcast_limit)
+                   broadcast_limit,
+                   rows_hint=line_rows + _table_rows(sf_dir, "supplier"), salt=1)
 
     nat_type = n_schema.field("n_nationkey").type
 
@@ -533,7 +579,7 @@ def local_supplier_revenue(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIM
     pre = j3.map_batches(partial, batch_format="pandas", batch_size=65536)
     pre_schema = pa.schema([("s_nationkey", nat_type), ("revenue_cents", pa.int64())])
     j4 = join_auto(pre, nation, "s_nationkey", "n_nationkey",
-                   pre_schema, n_schema, broadcast_limit)
+                   pre_schema, n_schema, broadcast_limit, salt=1)
     return (
         j4.groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
@@ -678,7 +724,61 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     )
 
 
-def asof_join_events_orders(sf_dir: str, num_buckets: int = 64):
+def _key_buckets(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Fibonacci-multiply hash → bucket id, vectorized over int keys."""
+    with np.errstate(over="ignore"):
+        return ((keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count straight from parquet footer metadata — zero data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def _ts_minmax_us(ds, sf_dir: str, table: str, col: str) -> tuple:
+    """(min, max) of a timestamp column as int64 µs. Tries parquet
+    row-group statistics first (footer-only, no data read); falls back
+    to one Ray Min/Max aggregate when stats are absent."""
+    import pyarrow.parquet as pq
+
+    try:
+        f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+        names = [f.metadata.schema.column(i).name
+                 for i in range(f.metadata.num_columns)]
+        idx = names.index(col)
+        mins, maxs = [], []
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("missing row-group stats")
+            mins.append(st.min)
+            maxs.append(st.max)
+        lo = min(mins)
+        hi = max(maxs)
+        return (int(np.datetime64(lo, "us").astype("int64")),
+                int(np.datetime64(hi, "us").astype("int64")))
+    except Exception:
+        from ray.data.aggregate import Max, Min
+
+        agg = ds.aggregate(Min(col), Max(col))
+        lo, hi = agg[f"min({col})"], agg[f"max({col})"]
+        return (int(np.datetime64(lo, "us").astype("int64")),
+                int(np.datetime64(hi, "us").astype("int64")))
+
+
+def _epoch_of(ts_us: np.ndarray, lo: int, hi: int, salt: int) -> np.ndarray:
+    """Equal-width time epoch ∈ [0, salt) over [lo, hi], clipped so
+    out-of-range rows land in the edge epochs."""
+    span = max(1, hi - lo + 1)
+    e = ((ts_us.astype(np.int64) - lo) * salt) // span
+    return np.clip(e, 0, salt - 1).astype(np.int64)
+
+
+def asof_join_events_orders(sf_dir: str, num_buckets: int | None = None,
+                            time_salt: int = 1):
     """As-of join — Ray Data has no native one (SURVEY §2.6 custom-op
     list): each event is matched to the SAME user's most recent order
     with ``o_orderdate <= ts``.
@@ -689,18 +789,37 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 64):
     (direction="backward", by=user) does the per-key time alignment.
     Deterministic tie-break: orders pre-sorted by (date, orderkey), so
     equal-date ties resolve to the larger orderkey — the same order
-    the SQL ROW_NUMBER oracle picks. Partitioning assumption: a single
-    user's rows fit one bucket's memory (salt the bucket key with a
-    time-range component if a key is pathologically hot)."""
+    the SQL ROW_NUMBER oracle picks.
+
+    ``num_buckets`` defaults to :func:`_auto_buckets` over the two
+    tables' parquet-footer row counts (no counting pass).
+
+    ``time_salt > 1`` bounds per-bucket rows under key skew (one hot
+    user): the time axis is cut into ``time_salt`` equal-width epochs
+    (bounds from parquet row-group stats — footer-only), every event
+    goes to the sub-bucket ``key_bucket·S + epoch(ts)``, and every
+    order is replicated FORWARD into its own and all later epochs —
+    so any event still sees every order at-or-before it, while the hot
+    key's (typically event-heavy) rows spread over ``S`` merge tasks.
+    Cost: ≤ ``S``× order-side shuffle volume; events are never
+    duplicated, so no re-aggregation pass is needed."""
     events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    if num_buckets is None:
+        num_buckets = _auto_buckets(
+            _table_rows(sf_dir, "events") + _table_rows(sf_dir, "orders")
+        )
+    S = max(1, int(time_salt))
+    lo = hi = 0
+    if S > 1:
+        e_lo, e_hi = _ts_minmax_us(events, sf_dir, "events", "ts")
+        o_lo, o_hi = _ts_minmax_us(orders, sf_dir, "orders", "o_orderdate")
+        lo, hi = min(e_lo, o_lo), max(e_hi, o_hi)
 
     def tag(key_col: str, side: int):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                bucket = ((keys * np.uint64(0x9E3779B97F4A7C15))
-                          % np.uint64(num_buckets)).astype(np.int64)
+            bucket = _key_buckets(keys, num_buckets)
             n = len(batch)
             cols = {
                 "event_id": batch["event_id"] if side == 0 else pa.nulls(n, pa.int64()),
@@ -712,6 +831,26 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 64):
                 "bucket": pa.array(bucket, type=pa.int64()),
                 "side": pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
             }
+            if S > 1:
+                t = pa.table(cols)
+                ts_col = "ts" if side == 0 else "o_orderdate"
+                ts_us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                epoch = _epoch_of(ts_us, lo, hi, S)
+                bucket = t["bucket"].to_numpy(zero_copy_only=False)
+                if side == 0:
+                    return t.set_column(
+                        t.schema.get_field_index("bucket"), "bucket",
+                        pa.array(bucket * S + epoch, type=pa.int64()))
+                # orders replicate forward: epoch e → sub-epochs e..S-1
+                reps = (S - epoch).astype(np.int64)
+                take = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+                sub = np.concatenate(
+                    [np.arange(e, S, dtype=np.int64) for e in epoch]
+                ) if len(t) else np.empty(0, dtype=np.int64)
+                rt = t.take(take)
+                return rt.set_column(
+                    rt.schema.get_field_index("bucket"), "bucket",
+                    pa.array(bucket[take] * S + sub, type=pa.int64()))
             return pa.table(cols)
 
         return fn
@@ -742,27 +881,47 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 64):
     return tagged.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
-def range_join_orders_events(sf_dir: str, days: int = 7, num_buckets: int = 64):
+def range_join_orders_events(sf_dir: str, days: int = 7,
+                             num_buckets: int | None = None,
+                             time_salt: int = 1):
     """Range (interval) join — the other custom-op shape Ray Data
     lacks: per order, the number of the same user's events inside
     ``[o_orderdate, o_orderdate + days)``.
 
     Same physical plan as the as-of join: key-bucket shuffle co-locates
     a user's orders and events; inside each bucket a vectorized pandas
-    merge on the key + interval mask + groupby count. The per-key
-    cross-product is bounded by per-user cardinality (salt the bucket
-    key with a time-range component for pathological keys)."""
+    merge on the key + interval mask + groupby count. ``num_buckets``
+    defaults to :func:`_auto_buckets` over parquet-footer row counts.
+
+    ``time_salt > 1`` bounds the per-key cross-product under skew:
+    events go to their time epoch's sub-bucket, each order is
+    replicated into every epoch its ``days``-wide window INTERSECTS
+    (≤ ``ceil(days/epoch_width)+1`` replicas — bounded, unlike the
+    as-of join's forward fan), per-sub-bucket counts are partial, and
+    one tiny order-keyed Sum re-aggregates them — exact regardless of
+    where a window straddles an epoch boundary."""
+    from ray.data.aggregate import Sum
+
     events = read_table(sf_dir, "events", columns=["user_id", "ts"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    if num_buckets is None:
+        num_buckets = _auto_buckets(
+            _table_rows(sf_dir, "events") + _table_rows(sf_dir, "orders")
+        )
+    S = max(1, int(time_salt))
+    lo = hi = 0
+    window_us = days * 86_400_000_000
+    if S > 1:
+        e_lo, e_hi = _ts_minmax_us(events, sf_dir, "events", "ts")
+        o_lo, o_hi = _ts_minmax_us(orders, sf_dir, "orders", "o_orderdate")
+        lo, hi = min(e_lo, o_lo), max(e_hi, o_hi)
 
     def tag(key_col: str, side: int):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                bucket = ((keys * np.uint64(0x9E3779B97F4A7C15))
-                          % np.uint64(num_buckets)).astype(np.int64)
+            bucket = _key_buckets(keys, num_buckets)
             n = len(batch)
-            return pa.table({
+            t = pa.table({
                 "user_id": batch["user_id"] if side == 0 else pa.nulls(n, pa.int64()),
                 "ts": batch["ts"] if side == 0 else pa.nulls(n, pa.timestamp("us")),
                 "o_orderkey": batch["o_orderkey"] if side == 1 else pa.nulls(n, pa.int64()),
@@ -771,6 +930,27 @@ def range_join_orders_events(sf_dir: str, days: int = 7, num_buckets: int = 64):
                 "bucket": pa.array(bucket, type=pa.int64()),
                 "side": pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
             })
+            if S > 1:
+                ts_col = "ts" if side == 0 else "o_orderdate"
+                ts_us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                if side == 0:
+                    epoch = _epoch_of(ts_us, lo, hi, S)
+                    return t.set_column(
+                        t.schema.get_field_index("bucket"), "bucket",
+                        pa.array(bucket * S + epoch, type=pa.int64()))
+                # orders cover epochs intersecting [d, d+days)
+                e0 = _epoch_of(ts_us, lo, hi, S)
+                e1 = _epoch_of(ts_us + window_us - 1, lo, hi, S)
+                reps = (e1 - e0 + 1).astype(np.int64)
+                take = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+                sub = np.concatenate(
+                    [np.arange(a, b + 1, dtype=np.int64) for a, b in zip(e0, e1)]
+                ) if len(t) else np.empty(0, dtype=np.int64)
+                rt = t.take(take)
+                return rt.set_column(
+                    rt.schema.get_field_index("bucket"), "bucket",
+                    pa.array(bucket[take] * S + sub, type=pa.int64()))
+            return t
 
         return fn
 
@@ -794,4 +974,11 @@ def range_join_orders_events(sf_dir: str, days: int = 7, num_buckets: int = 64):
         m["hit"] = inside.fillna(False).astype("int64")
         return m.groupby("o_orderkey", as_index=False).agg(n_events=("hit", "sum"))
 
-    return tagged.groupby("bucket").map_groups(count_bucket, batch_format="pandas")
+    partial = tagged.groupby("bucket").map_groups(count_bucket, batch_format="pandas")
+    if S == 1:
+        return partial
+    # replicas emitted partial counts (0 for empty sub-windows): one
+    # tiny order-keyed Sum folds them — the only cross-replica state
+    return partial.groupby("o_orderkey").aggregate(
+        Sum("n_events", alias_name="n_events")
+    )

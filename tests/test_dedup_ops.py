@@ -231,3 +231,105 @@ def test_hll_estimate_accuracy(ray_session):
     for k in exact.index:
         rel_err = abs(est[k] - exact[k]) / exact[k]
         assert rel_err < 0.13, (k, est[k], exact[k])
+
+
+def test_dedup_clusters_distributed_matches_union_find(ray_session):
+    """pair_limit=0 forces the min-label-propagation path; it must
+    produce exactly the union-find labeling on a multi-component graph
+    (chain, triangle-with-tail, isolated nodes)."""
+    import ray.data as rd
+
+    from pdf4py_ray.stages.dedup import dedup_clusters
+
+    docs = rd.from_items([{"doc_id": i, "text": ""} for i in range(12)])
+    pairs = rd.from_items([
+        # chain 1-3-5-7 (diameter 3: needs >1 propagation round)
+        {"id_a": 1, "id_b": 3}, {"id_a": 3, "id_b": 5}, {"id_a": 5, "id_b": 7},
+        # triangle 0-4-8 with tail 8-10
+        {"id_a": 0, "id_b": 4}, {"id_a": 4, "id_b": 8}, {"id_a": 0, "id_b": 8},
+        {"id_a": 8, "id_b": 10},
+    ])
+    want = {r["doc_id"]: (r["cluster_id"], r["is_representative"])
+            for r in dedup_clusters(docs, pairs).take_all()}
+    got = {r["doc_id"]: (r["cluster_id"], r["is_representative"])
+           for r in dedup_clusters(docs, pairs, pair_limit=0).take_all()}
+    assert got == want
+    assert got[7] == (1, False) and got[10] == (0, False) and got[2] == (2, True)
+
+
+def test_distributed_components_chain_convergence(ray_session):
+    """A 24-node path graph (worst-case diameter for its size) still
+    converges and labels every node with the chain minimum."""
+    import ray.data as rd
+
+    from pdf4py_ray.stages.dedup import distributed_components
+
+    n = 24
+    pairs = rd.from_items([{"id_a": i, "id_b": i + 1} for i in range(n - 1)])
+    labels = {r["node"]: r["label"]
+              for r in distributed_components(pairs, num_buckets=8).take_all()}
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_distributed_on_real_pairs(ray_session):
+    """The forced-distributed path hash-matches the driver path on the
+    sf0.01 MinHash pair graph (the oracle-gated clustering input)."""
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import dedup_clusters, minhash_dup_pairs
+
+    docs = read_table("/root/testdata/sf0.01", "documents", ["doc_id", "text"])
+    pairs = minhash_dup_pairs(docs).materialize()
+    a = dedup_clusters(docs, pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (dedup_clusters(docs, pairs, pair_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_ngram_hot_gram_cap_bounds_pairs(ray_session):
+    """A gram present in 90% of docs must not explode the pair count:
+    with the df cap it contributes nothing, and only genuinely similar
+    docs pair up. Docs sharing ONLY the hot gram yield no pair rows."""
+    import ray.data as rd
+
+    from pdf4py_ray.stages.dedup import ngram_jaccard_pairs
+
+    hot = "COMMONGRAM "  # one shingle shared by 90% of docs
+    rows = []
+    for i in range(40):
+        # per-doc unique tail of disjoint codepoints: no two docs share
+        # any gram except through the hot prefix
+        uniq = "".join(chr(0x4E00 + i * 16 + j) for j in range(10))
+        rows.append({"doc_id": i, "text": (hot if i < 36 else "") + uniq})
+    docs = rd.from_items(rows)
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_gram_df=8).take_all()
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01, max_gram_df=None).take_all()
+    # uncapped: every pair of the 36 hot docs shares >=1 gram -> 630+ pairs
+    assert len(uncapped) >= 36 * 35 // 2
+    # capped: the hot grams are dropped, no doc pair shares a rare gram
+    assert len(capped) == 0
+
+
+def test_ngram_cap_exact_when_under_threshold(near_dup_docs):
+    """With every gram under the cap, results are exactly the uncapped
+    ones (the driver-oracle regime)."""
+    from pdf4py_ray.stages.dedup import ngram_jaccard_pairs
+
+    a = sorted((r["id_a"], r["id_b"], r["jaccard"])
+               for r in ngram_jaccard_pairs(near_dup_docs, max_gram_df=10_000).take_all())
+    b = sorted((r["id_a"], r["id_b"], r["jaccard"])
+               for r in ngram_jaccard_pairs(near_dup_docs, max_gram_df=None).take_all())
+    assert a == b and len(a) > 0
+
+
+def test_ngram_verify_joined_path_matches_broadcast(near_dup_docs):
+    """candidate_limit=0 forces the keyed hash_join fallback; it must
+    agree with the broadcast semi-join path pair for pair."""
+    from pdf4py_ray.stages.dedup import minhash_dup_pairs, ngram_jaccard_verify
+
+    pairs = minhash_dup_pairs(near_dup_docs, threshold=0.5).materialize()
+    broad = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_verify(near_dup_docs, pairs).take_all()}
+    joined = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_verify(
+                  near_dup_docs, pairs, candidate_limit=0).take_all()}
+    assert broad == joined and len(joined) > 0

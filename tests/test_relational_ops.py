@@ -183,3 +183,101 @@ def test_asof_join_tie_break_and_no_match(ray_session, tmp_path):
     # event 2 (ts=50): two orders tie at date 40 → larger key 501;
     # event 3: user 9 has no orders → dropped
     assert got == [(1, 502), (2, 501)]
+
+
+def test_asof_and_range_join_time_salt_match(ray_session):
+    """time_salt>1 (epoch sub-bucketing + forward/window replication)
+    must be result-identical to the unsalted plan on real tables."""
+    from pdf4py_ray.stages.relational import (asof_join_events_orders,
+                                              range_join_orders_events)
+
+    sf = "/root/testdata/sf0.001"
+    a = asof_join_events_orders(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = (asof_join_events_orders(sf, time_salt=4).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+    r = range_join_orders_events(sf).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    s = (range_join_orders_events(sf, time_salt=4).to_pandas()
+         .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(r, s[r.columns], check_dtype=False)
+
+
+def test_time_salt_bounds_hot_key(ray_session, tmp_path):
+    """90%-one-user skew: the hot user's events spread across the S
+    epoch sub-buckets (no sub-bucket holds them all), and the salted
+    results still match the unsalted ones exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf4py_ray.stages.relational import (_epoch_of,
+                                              asof_join_events_orders,
+                                              range_join_orders_events)
+
+    n = 2000
+    rng = np.random.default_rng(7)
+    user = np.where(np.arange(n) % 10 < 9, 42, np.arange(n) % 50).astype(np.int64)
+    ts_us = rng.integers(0, 365 * 86_400_000_000, size=n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(user),
+        "ts": pa.array(ts_us.astype("datetime64[us]")),
+    }), str(tmp_path / "events.parquet"))
+    m = 300
+    od_us = rng.integers(0, 365 * 86_400_000_000, size=m)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(m, dtype=np.int64)),
+        "o_custkey": pa.array((np.arange(m) % 60).astype(np.int64)),
+        "o_orderdate": pa.array(od_us.astype("datetime64[us]")),
+    }), str(tmp_path / "orders.parquet"))
+    sf = str(tmp_path)
+
+    S = 8
+    a = asof_join_events_orders(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = (asof_join_events_orders(sf, time_salt=S).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+    r = range_join_orders_events(sf).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    s = (range_join_orders_events(sf, time_salt=S).to_pandas()
+         .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(r, s[r.columns], check_dtype=False)
+
+    # replicate the epoch assignment: the hot user's ~1800 events must
+    # spread over the S sub-buckets, max sub-bucket well under the total
+    hot_ts = ts_us[user == 42]
+    lo = int(min(ts_us.min(), od_us.min()))
+    hi = int(max(ts_us.max(), od_us.max()))
+    epochs = _epoch_of(hot_ts.astype(np.int64), lo, hi, S)
+    counts = np.bincount(epochs, minlength=S)
+    assert counts.max() < len(hot_ts) // 2
+
+
+def test_hash_join_auto_salt(ray_session):
+    """salt=None (default) detects a 90%-hot probe key and salts; the
+    result is identical to the explicit-salt and unsalted joins."""
+    import numpy as np
+
+    from pdf4py_ray.stages.relational import _detect_salt, hash_join
+
+    n = 4096
+    keys = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 50).astype(np.int64)
+    left = pa.table({"l_key": keys, "l_val": np.arange(n, dtype=np.int64)})
+    right = pa.table({
+        "r_key": pa.array(list(range(50)), type=pa.int64()),
+        "r_val": pa.array([v * 100 for v in range(50)], type=pa.int64()),
+    })
+    lds = _ds(ray_session, left, 4)
+    assert _detect_salt(lds, "l_key") >= 8  # skew detected
+
+    auto = hash_join(lds, _ds(ray_session, right), "l_key", "r_key",
+                     left.schema, right.schema, num_buckets=8).to_pandas()
+    plain = hash_join(lds, _ds(ray_session, right), "l_key", "r_key",
+                      left.schema, right.schema, num_buckets=8, salt=1).to_pandas()
+    key_fn = lambda df: sorted(map(tuple, df[["l_key", "l_val", "r_val"]].itertuples(index=False)))
+    assert key_fn(auto) == key_fn(plain)
+
+    # uniform keys: no salt triggered
+    uni = pa.table({"l_key": pa.array((np.arange(4096) % 997).astype(np.int64)),
+                    "l_val": pa.array(np.arange(4096, dtype=np.int64))})
+    assert _detect_salt(_ds(ray_session, uni, 4), "l_key") == 1
