@@ -40,6 +40,71 @@ def stable_hash64_column(values) -> np.ndarray:
     return out
 
 
+_M61 = np.uint64(_MERSENNE_61)
+
+
+def mulmod61(a: np.ndarray, b) -> np.ndarray:
+    """Vectorized ``a * b mod 2^61-1`` for uint64 inputs < 2^61.
+
+    31-bit limb decomposition keeps every partial product inside
+    uint64; the Mersenne identity ``2^61 ≡ 1`` folds the high limbs
+    back without 128-bit arithmetic — bit-exact with Python's
+    arbitrary-precision ``(a * b) % M`` (property-tested)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    lo_mask = np.uint64((1 << 31) - 1)
+    a_hi, a_lo = a >> np.uint64(31), a & lo_mask
+    b_hi, b_lo = b >> np.uint64(31), b & lo_mask
+    p0 = a_lo * b_lo                       # < 2^62
+    p1 = a_lo * b_hi + a_hi * b_lo         # < 2^62
+    p2 = a_hi * b_hi                       # < 2^60
+    # p1·2^31 = q·2^61 + r·2^31 ≡ q + r·2^31  (q = p1>>30, r = p1&(2^30-1))
+    t1 = (p1 >> np.uint64(30)) + ((p1 & np.uint64((1 << 30) - 1)) << np.uint64(31))
+    total = p0 + t1 + (p2 << np.uint64(1))  # < 2^64, no overflow
+    total = (total >> np.uint64(61)) + (total & _M61)
+    total = (total >> np.uint64(61)) + (total & _M61)
+    return np.where(total >= _M61, total - _M61, total)
+
+
+def rolling_min_fingerprint(hs_flat: np.ndarray, offsets: np.ndarray,
+                            base: int, k: int = 5) -> np.ndarray:
+    """Per-document min rolling polynomial hash, fully vectorized over
+    a CONCATENATED word-hash array.
+
+    ``hs_flat`` holds every document's word hashes (mod 2^61-1) back to
+    back; ``offsets`` (len = n_docs+1) delimits documents. For each
+    document with ≥ ``k`` words the result is
+    ``min_i sum_j hs[i+j]·base^(k-1-j) mod M`` — identical to the
+    scalar loop in :class:`~..stages.textstats.TextStats` and to the
+    DuckDB HUGEINT oracle. Documents with < ``k`` words get the
+    sentinel ``M`` (caller falls back / zero-fills); windows crossing
+    document boundaries are masked out. One pass of ``k`` shifted
+    :func:`mulmod61` multiplies + one ``minimum.reduceat`` — no Python
+    per-row loop."""
+    M = _MERSENNE_61
+    n = len(hs_flat)
+    n_docs = len(offsets) - 1
+    out = np.full(n_docs, M, dtype=np.uint64)
+    if n < k:
+        return out
+    powers = [pow(base, k - 1 - j, M) for j in range(k)]
+    nw = n - k + 1
+    acc = np.zeros(nw, dtype=np.uint64)
+    for j in range(k):
+        acc += mulmod61(hs_flat[j:j + nw], powers[j])  # sum < 5·2^61 < 2^64
+    acc = (acc >> np.uint64(61)) + (acc & _M61)
+    acc = np.where(acc >= _M61, acc - _M61, acc)
+    lens = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    valid = doc_of[:nw] == doc_of[k - 1:k - 1 + nw]
+    acc = np.where(valid, acc, np.uint64(M))
+    ge = np.flatnonzero(lens >= k)
+    if len(ge):
+        starts = offsets[ge].astype(np.int64)
+        out[ge] = np.minimum.reduceat(acc, starts)
+    return out
+
+
 def minhash_params(num_perm: int, seed: int = 42):
     """(a, b) coefficient vectors for the multiply-add hash family."""
     rng = np.random.RandomState(seed)

@@ -40,7 +40,20 @@ _WORD_RE = re.compile(r"[a-zà-ÿ]+")
 
 
 class TextStats:
-    """Actor-pool stage: append token/quality/lang/fingerprint columns."""
+    """Actor-pool stage: append token/quality/lang/fingerprint columns.
+
+    The per-row Python kernels of the first version (``Series.map``
+    over word lists) are replaced by flat-array numpy: all words of a
+    batch are concatenated, the vocabulary is deduplicated once
+    (``np.unique``), md5 word hashes are computed per UNIQUE word with
+    a per-actor cache (words repeat heavily across batches), and the
+    rolling-hash fingerprint / stopword ratios / language argmax run
+    as vectorized segment reductions over the flat array
+    (:func:`~..functions.hashing.rolling_min_fingerprint`). Values are
+    bit-identical to the scalar reference kernels kept below for
+    short-document fallback and tests."""
+
+    _HASH_CACHE_MAX = 1_000_000  # ~32 MB of dict; reset beyond
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
@@ -49,6 +62,12 @@ class TextStats:
         self.punct = _PUNCT_RE
         self.word = _WORD_RE
         self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        self.langs = list(STOPWORDS)  # insertion order = tie-break order
+        self.stop_arrays = {
+            lang: np.array(sorted(ws), dtype=object)
+            for lang, ws in STOPWORDS.items()
+        }
+        self._hash_cache: dict = {}
 
     # -- scalar kernels (applied per row over pandas Series) ----------------
 
@@ -85,7 +104,25 @@ class TextStats:
                 best = acc
         return best
 
+    def _word_hashes(self, uniq: np.ndarray) -> np.ndarray:
+        """md5-lower-64 (mod M) per unique word, through the actor
+        cache — the only irreducibly per-word Python work left."""
+        cache = self._hash_cache
+        if len(cache) > self._HASH_CACHE_MAX:
+            cache.clear()
+        M = self._FP_MOD
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, w in enumerate(uniq):
+            h = cache.get(w)
+            if h is None:
+                h = md5_lower64(w) % M
+                cache[w] = h
+            out[i] = h
+        return out
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import rolling_min_fingerprint
+
         text = batch[self.text_col].fillna("")
         stripped = text.str.strip()
         batch["n_chars"] = text.str.len().astype("int64")
@@ -98,16 +135,54 @@ class TextStats:
             batch["n_chars"] > 0, n_punct / batch["n_chars"], 0.0
         )
         words = text.str.lower().str.findall(self.word)
-        en = self.profiles["en"]
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(1 for w in ws if w in en) / len(ws) if ws else 0.0
-        )
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        nrows = len(batch)
+        offsets = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = np.empty(int(offsets[-1]), dtype=object)
+        pos = 0
+        for ws in words:
+            flat[pos:pos + len(ws)] = ws
+            pos += len(ws)
+
+        if len(flat):
+            uniq, codes = np.unique(flat, return_inverse=True)
+        else:
+            uniq = np.array([], dtype=object)
+            codes = np.array([], dtype=np.int64)
+
+        # stopword ratios per language: membership tested once per
+        # UNIQUE word, expanded via codes, summed per row with cumsum
+        # (empty-row-safe, unlike reduceat)
+        denom = np.maximum(lens, 1)
+        scores = np.zeros((len(self.langs), nrows))
+        for li, lang in enumerate(self.langs):
+            memb = np.isin(uniq, self.stop_arrays[lang]).astype(np.int64)
+            cs = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(memb[codes], out=cs[1:])
+            scores[li] = (cs[offsets[1:]] - cs[offsets[:-1]]) / denom
+        batch["stopword_ratio"] = np.where(lens > 0, scores[0], 0.0)
         # quality: bounded length term × clean-punctuation term
         batch["quality_score"] = np.minimum(1.0, batch["n_tokens"] / 100.0) * (
             1.0 - batch["punct_ratio"]
         )
-        batch["lang_pred"] = words.map(self.lang_of)
-        batch["fingerprint"] = words.map(self.fingerprint_of).astype("int64")
+        # argmax in language order = the scalar loop's first-wins tie
+        # break; > 0.02 threshold else "und"
+        best = scores.argmax(axis=0)
+        lang_arr = np.array(self.langs, dtype=object)
+        batch["lang_pred"] = np.where(
+            scores[best, np.arange(nrows)] > 0.02, lang_arr[best], "und"
+        )
+
+        hs_flat = self._word_hashes(uniq)[codes] if len(flat) else np.array(
+            [], dtype=np.uint64
+        )
+        fp = rolling_min_fingerprint(hs_flat, offsets, self._FP_BASE, k=5)
+        fingerprints = np.where(fp == np.uint64(self._FP_MOD), 0, fp).astype("int64")
+        short = np.flatnonzero((lens > 0) & (lens < 5))
+        for r in short:  # rare: <5-word docs use the scalar reference
+            fingerprints[r] = self.fingerprint_of(list(words.iloc[r]))
+        batch["fingerprint"] = fingerprints
         return batch
 
 
@@ -164,31 +239,44 @@ class HllPartial:
     B_BITS = 10
     REST_BITS = 54
 
+    _HASH_CACHE_MAX = 1_000_000
+
     def __init__(self, key_col: str, val_col: str) -> None:
         self.key_col = key_col
         self.val_col = val_col
+        # 2^0..2^(REST_BITS-1): searchsorted(…, 'right') == bit_length
+        self._pow2 = (np.uint64(1) << np.arange(self.REST_BITS, dtype=np.uint64))
+        self._hash_cache: dict = {}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"key": [], "register_idx": [], "max_rank": []}
-        mask = (1 << self.REST_BITS) - 1
-        for key, vals in batch.groupby(self.key_col)[self.val_col]:
-            regs: dict = {}
-            for v in vals:
+        vals = batch[self.val_col].to_numpy()
+        uniq, codes = np.unique(vals, return_inverse=True)
+        cache = self._hash_cache
+        if len(cache) > self._HASH_CACHE_MAX:
+            cache.clear()
+        h_uniq = np.empty(len(uniq), dtype=np.uint64)
+        for i, v in enumerate(uniq):  # md5 once per UNIQUE value, cached
+            h = cache.get(v)
+            if h is None:
                 h = md5_lower64(str(v))
-                idx = h >> self.REST_BITS
-                rest = h & mask
-                rank = self.REST_BITS - rest.bit_length() + 1
-                if rank > regs.get(idx, 0):
-                    regs[idx] = rank
-            for idx, rank in regs.items():
-                rows["key"].append(key)
-                rows["register_idx"].append(idx)
-                rows["max_rank"].append(rank)
-        return pd.DataFrame({
-            self.key_col: rows["key"],
-            "register_idx": pd.Series(rows["register_idx"], dtype="int64"),
-            "max_rank": pd.Series(rows["max_rank"], dtype="int64"),
+                cache[v] = h
+            h_uniq[i] = h
+        rest = h_uniq & np.uint64((1 << self.REST_BITS) - 1)
+        # vectorized bit_length: index of the first power of two > rest
+        bitlen = np.searchsorted(self._pow2, rest, side="right")
+        rank_uniq = (self.REST_BITS - bitlen + 1).astype(np.int64)
+        idx_uniq = (h_uniq >> np.uint64(self.REST_BITS)).astype(np.int64)
+        df = pd.DataFrame({
+            self.key_col: batch[self.key_col].to_numpy(),
+            "register_idx": idx_uniq[codes],
+            "max_rank": rank_uniq[codes],
         })
+        out = df.groupby([self.key_col, "register_idx"], as_index=False).agg(
+            max_rank=("max_rank", "max")
+        )
+        out["register_idx"] = out["register_idx"].astype("int64")
+        out["max_rank"] = out["max_rank"].astype("int64")
+        return out
 
 
 def hll_registers(ds, key_col: str = "event_type", val_col: str = "user_id",
