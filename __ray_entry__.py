@@ -296,10 +296,14 @@ def _train_test_split(sf_dir: str):
 
 
 def _shuffled_sample(sf_dir: str):
+    """Deterministic hash-rank sample (SQL-replicable); the seeded
+    ``random_shuffle`` epoch-shuffle API stays available as
+    ``textstats.shuffled_sample`` (covered by in-repo tests — Ray's
+    shuffle order is not SQL-expressible)."""
     from pdf4py_ray.sources.transcripts import read_table
-    from pdf4py_ray.stages.textstats import shuffled_sample
+    from pdf4py_ray.stages.textstats import hash_sample
 
-    return shuffled_sample(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return hash_sample(read_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _knn_brute(sf_dir: str):
@@ -786,6 +790,15 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY split
+        """,
+        # deterministic hash-rank sample: md5('{id}-{seed}') lowercase
+        # hex ranks rows identically in Python hashlib and DuckDB
+        "t_shuffled_sample": """
+            SELECT doc_id, text,
+                   md5(CAST(doc_id AS VARCHAR) || '-42') AS sort_key
+            FROM documents
+            ORDER BY sort_key
+            LIMIT 100
         """,
         "s_knn_brute": """
             SELECT query_id, neighbor_id FROM (

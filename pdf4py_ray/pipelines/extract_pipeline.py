@@ -226,13 +226,18 @@ def stable_sorted_write(ds, out_dir: str, split_points: list,
     in order IS the stable global (conv_id, turn_idx) order.
 
     Both stages scale linearly with nodes (storage-bandwidth bound,
-    not interconnect-barrier bound). Returns the total row count."""
-    import glob as globmod
-
+    not interconnect-barrier bound). All filesystem access goes
+    through ``pyarrow.fs`` resolved from the output URI — POSIX paths
+    and object-store URIs (``file://``, ``s3://``, …) take the same
+    code path; the fragment cleanup uses per-file deletes and a
+    filesystem ``move`` (atomic on local FS, copy+delete where the
+    store lacks rename) rather than POSIX ``glob``/``os.replace``.
+    Returns the total row count."""
     import numpy as np
     import pyarrow as pa
     import ray
 
+    filesystem, out_path = _resolve_fs(out_dir)
     keys = sort_keys or SORT_KEYS
     splits_arr = np.array(split_points)
     splits_ref = ray.put(splits_arr)
@@ -244,30 +249,53 @@ def stable_sorted_write(ds, out_dir: str, split_points: list,
         return batch.append_column("sort_bucket", pa.array(bucket, type=pa.int64()))
 
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["sort_bucket"]
+        out_path, filesystem=filesystem, partition_cols=["sort_bucket"]
     )
 
     @ray.remote(num_cpus=1)
     def compact(bucket_dir: str) -> int:
-        import os as osmod
+        from pyarrow import fs as pafs
 
         import pyarrow.parquet as pqmod
 
-        frags = sorted(globmod.glob(osmod.path.join(bucket_dir, "*.parquet")))
+        infos = filesystem.get_file_info(pafs.FileSelector(bucket_dir))
+        frags = sorted(
+            fi.path for fi in infos
+            if fi.type == pafs.FileType.File and fi.base_name.endswith(".parquet")
+            and not fi.base_name.startswith("sorted.parquet")
+        )
         if not frags:
             return 0
-        t = pa.concat_tables(pqmod.read_table(f) for f in frags)
+        t = pa.concat_tables(pqmod.read_table(f, filesystem=filesystem) for f in frags)
         t = t.sort_by([(k, "ascending") for k in keys])
-        tmp = osmod.path.join(bucket_dir, "sorted.parquet.tmp")
-        pqmod.write_table(t, tmp)
-        osmod.replace(tmp, osmod.path.join(bucket_dir, "sorted.parquet"))
+        tmp = f"{bucket_dir}/sorted.parquet.tmp"
+        pqmod.write_table(t, tmp, filesystem=filesystem)
+        filesystem.move(tmp, f"{bucket_dir}/sorted.parquet")
         for f in frags:
-            osmod.remove(f)
+            filesystem.delete_file(f)
         return t.num_rows
 
-    bucket_dirs = sorted(globmod.glob(os.path.join(out_dir, "sort_bucket=*")))
+    from pyarrow import fs as pafs
+
+    bucket_dirs = sorted(
+        fi.path for fi in filesystem.get_file_info(pafs.FileSelector(out_path))
+        if fi.type == pafs.FileType.Directory
+        and fi.base_name.startswith("sort_bucket=")
+    )
     counts = ray.get([compact.remote(d) for d in bucket_dirs])
     return int(sum(counts))
+
+
+def _resolve_fs(path: str):
+    """(pyarrow FileSystem, in-filesystem path) for a path or URI.
+    Bare paths resolve to LocalFileSystem; ``file://``, ``s3://`` etc.
+    go through ``FileSystem.from_uri``. The returned filesystem object
+    is picklable, so Ray tasks can capture it."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
 
 
 def materialize_turns(sf_dir: str, out_dir: str, repeat: int = 1) -> str:

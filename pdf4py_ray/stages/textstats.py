@@ -220,8 +220,31 @@ def train_test_split_counts(ds, id_col: str = "doc_id", test_mod: int = 10,
 
 def shuffled_sample(ds, n: int = 100, seed: int = 42):
     """Seeded global ``random_shuffle`` (the pre-epoch shuffle of a
-    training pipeline — an all-to-all) + take-n."""
+    training pipeline — an all-to-all) + take-n. Kept as the
+    epoch-shuffle API; :func:`hash_sample` is the deterministic,
+    SQL-replicable sampler the driver value-gates."""
     return ds.random_shuffle(seed=seed).limit(n)
+
+
+def hash_sample(ds, n: int = 100, seed: int = 42, id_col: str = "doc_id"):
+    """Deterministic pseudo-random sample: rank rows by
+    ``md5('{id}-{seed}')`` (lowercase hex — exactly DuckDB's ``md5``)
+    and keep the ``n`` smallest. Distributed top-k, no all-to-all:
+    each batch prunes itself to its local ``n`` smallest keys (the
+    combiner), so the final ``sort + limit`` sees at most
+    ``n × num_batches`` candidate rows — O(sample), never a shuffle of
+    the corpus. Membership is a pure function of (id, seed): re-runs,
+    resumes and the SQL oracle (``ORDER BY md5(...) LIMIT n``) agree
+    exactly."""
+    from hashlib import md5 as _md5
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(sort_key=[
+            _md5(f"{i}-{seed}".encode()).hexdigest() for i in batch[id_col]
+        ])
+        return batch.sort_values("sort_key", kind="mergesort").head(n)
+
+    return ds.map_batches(prune, batch_format="pandas").sort("sort_key").limit(n)
 
 
 class HllPartial:

@@ -76,6 +76,7 @@ SQL_CHECKED = [
     "d_embedding_dups",
     "t_text_stats",
     "t_train_test_split",
+    "t_shuffled_sample",
     "s_knn_brute",
     "s_knn_lsh",
     "s_knn_ivf",
@@ -108,16 +109,20 @@ def test_every_query_is_gated_or_listed(entrymod):
 
 # queries with no oracle_sql entry (driver records a rows-only check);
 # everything else is covered by SQL_CHECKED above
-NO_ORACLE = [
-    "t_shuffled_sample",
-]
+NO_ORACLE = []
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_no_oracle_queries_run(ray_session, entrymod, name):
-    res = result_to_pandas(entrymod.queries()[name](SF_DIR))
-    assert res is not None
-    assert len(res) > 0
+def test_epoch_shuffle_api_rows_only(ray_session):
+    """The seeded random_shuffle epoch-shuffle API (not SQL-gatable:
+    Ray's shuffle order is engine-internal) still runs, is seeded-
+    deterministic across calls, and returns n distinct docs."""
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import shuffled_sample
+
+    ds = read_table(SF_DIR, "documents", ["doc_id"])
+    a = [r["doc_id"] for r in shuffled_sample(ds, n=50, seed=7).take_all()]
+    b = [r["doc_id"] for r in shuffled_sample(ds, n=50, seed=7).take_all()]
+    assert a == b and len(set(a)) == 50
 
 
 def test_entry_smoke(ray_session, entrymod):

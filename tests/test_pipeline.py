@@ -265,3 +265,44 @@ def test_stable_sorted_write_ordered_output(ray_session, tmp_path, turns_table):
     want = [(r["conv_id"], r["turn_idx"])
             for r in full.sort(SORT_KEYS).select_columns(["conv_id", "turn_idx"]).take_all()]
     assert got == want
+
+
+def test_stable_sorted_write_through_fs_uri(ray_session, tmp_path, turns_table):
+    """The gate sort must run against a pyarrow.fs-resolved URI (the
+    object-storage API-portability proxy): a file:// run and a bare
+    POSIX-path run produce byte-identical sorted buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pyarrow import fs as pafs
+
+    from pdf4py_ray.pipelines.extract_pipeline import (
+        extraction_dataset,
+        stable_sorted_write,
+    )
+
+    convs = sorted({r["conv_id"] for r in turns_table.select(["conv_id"]).to_pylist()})
+    splits = convs[1::4]
+
+    outs = []
+    for out_dir in [str(tmp_path / "posix"), f"file://{tmp_path}/uri"]:
+        ds = extraction_dataset(rd.from_arrow(turns_table), num_partitions=8, concurrency=2)
+        n = stable_sorted_write(ds, out_dir, splits)
+        assert n == len(turns_table)
+        base = out_dir.replace("file://", "")
+        local = pafs.LocalFileSystem()
+        buckets = sorted(
+            (fi.path for fi in local.get_file_info(pafs.FileSelector(base))
+             if fi.base_name.startswith("sort_bucket=")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        tbl = pa.concat_tables(
+            pq.read_table(f"{b}/sorted.parquet", columns=["conv_id", "turn_idx"])
+            for b in buckets
+        )
+        # fragments are cleaned up in both modes
+        for b in buckets:
+            names = [fi.base_name for fi in local.get_file_info(pafs.FileSelector(b))]
+            assert names == ["sorted.parquet"], names
+        outs.append(list(zip(tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist())))
+    assert outs[0] == outs[1]
