@@ -288,6 +288,20 @@ def _fingerprints(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def _top_words(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import top_words
+
+    return top_words(read_table(sf_dir, "documents", ["text"]))
+
+
+def _len_quantiles(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import doc_len_quantiles
+
+    return doc_len_quantiles(read_table(sf_dir, "documents", ["text"]))
+
+
 def _train_test_split(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.textstats import train_test_split_counts
@@ -393,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_text_stats": _text_stats,
         "t_lang_id": _lang_id,
         "t_fingerprints": _fingerprints,
+        "t_top_words": _top_words,
+        "t_len_quantiles": _len_quantiles,
         "t_train_test_split": _train_test_split,
         "t_shuffled_sample": _shuffled_sample,
         # similarity search
@@ -783,6 +799,36 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(bit_count(xor(CAST(a.f128 >> 1 AS BIGINT), CAST(b.f128 >> 1 AS BIGINT))) AS BIGINT) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(CAST(a.f128 >> 1 AS BIGINT), CAST(b.f128 >> 1 AS BIGINT))) <= 3
+        """,
+        # heavy hitters: same word regex/lowering as t_lang_id; ties at
+        # the k boundary break by (n DESC, word ASC) on both sides
+        "t_top_words": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-zà-ÿ]+')) AS word
+              FROM documents
+            )
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY word
+            ORDER BY n DESC, word LIMIT 20
+        """,
+        # exact lower-rank quantiles of the whitespace token count;
+        # rank = max(1, ceil(p*n)) with the same IEEE-double p*n as the
+        # engine's math.ceil
+        "t_len_quantiles": """
+            WITH t AS (
+              SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS n_tokens
+              FROM (SELECT COALESCE(text, '') AS text FROM documents)
+            ), r AS (
+              SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM t
+            )
+            SELECT CAST(ps.p AS DOUBLE) AS p, r.n_tokens
+            FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) ps(p)
+            JOIN r ON r.rk = GREATEST(1, CAST(CEIL(CAST(ps.p AS DOUBLE) * r.n) AS BIGINT))
+            ORDER BY p
         """,
         "t_train_test_split": """
             SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'

@@ -169,6 +169,8 @@ def main() -> None:
             "d_simhash_pairs",
             "d_ngram_jaccard",
             "t_text_stats",
+            "t_top_words",
+            "t_len_quantiles",
             "t_hll_registers",
             "d_dedup_clusters",
             "s_knn_brute",

@@ -247,6 +247,105 @@ def hash_sample(ds, n: int = 100, seed: int = 42, id_col: str = "doc_id"):
     return ds.map_batches(prune, batch_format="pandas").sort("sort_key").limit(n)
 
 
+def top_words(ds, k: int = 20, text_col: str = "text", num_buckets: int = 64):
+    """Corpus-wide heavy hitters: top-``k`` words by occurrence count.
+
+    Scale shape: the per-batch partial collapses occurrences to one
+    (word, cnt) row per DISTINCT word per batch (the combiner), so the
+    shuffle moves vocabulary-sized data, never corpus-sized. Words are
+    coarse-bucketed by a stable 64-bit hash into a single-int64
+    ``groupby`` (the string-key aggregate costs ~40 ms/group — see
+    BASELINE.md) and summed vectorized per bucket. Each word lives in
+    exactly one bucket, so the global top-k equals the top-k of the
+    union of per-bucket top-ks: the terminal ``sort + limit`` sees at
+    most ``num_buckets × k`` rows. Boundary ties break
+    deterministically by (count desc, word asc) — same order as the
+    SQL oracle's ``ORDER BY n DESC, word``."""
+    from ..functions.hashing import stable_hash64_column
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            batch[text_col].fillna("").str.lower().str.findall(_WORD_RE)
+            .explode().dropna()
+        )
+        vc = words.value_counts()
+        out = pd.DataFrame({
+            "word": vc.index.to_numpy(dtype=object),
+            "cnt": vc.to_numpy(dtype="int64"),
+        })
+        out["bucket"] = (
+            stable_hash64_column(out["word"].to_numpy())
+            % np.uint64(num_buckets)
+        ).astype("int64")
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("word", as_index=False).agg(n=("cnt", "sum"))
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values(["n", "word"], ascending=[False, True],
+                               kind="mergesort").head(k)[["word", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_len_quantiles(ds, text_col: str = "text",
+                      ps=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact distributed quantiles of per-document whitespace token
+    counts, via histogram combine: per-batch ``(n_tokens → count)``
+    partials (one row per distinct length per batch — the combiner),
+    coarse-bucket vectorized sum, then a driver scan of the full
+    histogram, which is bounded by the number of DISTINCT document
+    lengths (≤ max doc length — a few thousand rows even at 100 TB),
+    never by corpus size. The quantile is the unambiguous lower-rank
+    pick: the value at rank ``max(1, ceil(p·n))`` of the sorted
+    lengths, bit-replicable in SQL as a window-rank join (both sides
+    do the same IEEE-double ``p·n``). Returns a pandas DataFrame
+    ``(p, n_tokens)``."""
+    import math
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("")
+        stripped = text.str.strip()
+        n_tokens = np.where(
+            stripped.str.len() > 0, stripped.str.count(_WS_RE) + 1, 0
+        ).astype("int64")
+        vals, cnts = np.unique(n_tokens, return_counts=True)
+        return pd.DataFrame({
+            "n_tokens": vals,
+            "cnt": cnts.astype("int64"),
+            "bucket": vals % 64,
+        })
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("n_tokens", as_index=False).agg(cnt=("cnt", "sum"))
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .take_all()
+    )  # bounded: one row per distinct document length
+    h = pd.DataFrame(rows).sort_values("n_tokens")
+    cum = h["cnt"].cumsum().to_numpy() if len(h) else np.array([], dtype=np.int64)
+    n = int(cum[-1]) if len(cum) else 0
+    lens = h["n_tokens"].to_numpy() if len(h) else np.array([], dtype=np.int64)
+    out_p, out_v = [], []
+    for p in ps:
+        rank = max(1, math.ceil(p * n))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_p.append(float(p))
+        out_v.append(int(lens[idx]) if n else 0)
+    return pd.DataFrame({"p": out_p, "n_tokens": pd.array(out_v, dtype="int64")})
+
+
 class HllPartial:
     """Actor stage: per-batch HyperLogLog register partials for
     approximate distinct counting (the sketch pattern: tiny mergeable

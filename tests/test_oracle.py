@@ -75,6 +75,8 @@ SQL_CHECKED = [
     "d_ngram_jaccard",
     "d_embedding_dups",
     "t_text_stats",
+    "t_top_words",
+    "t_len_quantiles",
     "t_train_test_split",
     "t_shuffled_sample",
     "s_knn_brute",

@@ -101,3 +101,42 @@ def test_hll_partial_matches_scalar_reference():
         for idx, rank in regs.items():
             want[(key, idx)] = rank
     assert got == want
+
+
+def test_top_words_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from pdf4py_ray.stages.textstats import _WORD_RE, top_words
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    got = top_words(rd.from_pandas(t), k=15).to_pandas()
+    words = t["text"].fillna("").str.lower().str.findall(_WORD_RE).explode().dropna()
+    ref = (words.value_counts().rename_axis("word").reset_index(name="n")
+           .sort_values(["n", "word"], ascending=[False, True],
+                        kind="mergesort").head(15).reset_index(drop=True))
+    ref["n"] = ref["n"].astype("int64")
+    assert list(got["word"]) == list(ref["word"])
+    assert list(got["n"]) == list(ref["n"])
+
+
+def test_doc_len_quantiles_matches_sorted_rank(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from pdf4py_ray.stages.textstats import doc_len_quantiles
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"]).to_pandas()
+    # include empty/NULL rows to hit the n_tokens=0 bin
+    t = pd.concat([t, pd.DataFrame({"text": ["", None, "a b c"]})],
+                  ignore_index=True)
+    got = doc_len_quantiles(rd.from_pandas(t))
+    text = t["text"].fillna("")
+    stripped = text.str.strip()
+    n_tokens = np.sort(np.where(stripped.str.len() > 0,
+                                stripped.str.count(r"\s+") + 1, 0))
+    n = len(n_tokens)
+    for p, v in zip(got["p"], got["n_tokens"]):
+        assert v == int(n_tokens[max(1, math.ceil(p * n)) - 1])
