@@ -187,12 +187,16 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(["id_a", "id_b"])
 
+    from .relational import _shuffle_parts
+
     candidates = (
         sketches.map_batches(explode_bands, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(_shuffle_parts(COARSE_BUCKETS))
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(_add_pair_bucket, batch_format="pandas")
+        .repartition(_shuffle_parts(COARSE_BUCKETS))
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
         .materialize()  # pair ids only — tiny relative to the corpus
@@ -359,14 +363,18 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
             .reset_index()
         )
 
+    from .relational import _shuffle_parts
+
     pairs = (
         fps.map_batches(explode_blocks, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(_shuffle_parts(COARSE_BUCKETS))
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return (
         pairs.map_batches(_add_pair_bucket, batch_format="pandas")
+        .repartition(_shuffle_parts(COARSE_BUCKETS))
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
     )
@@ -479,12 +487,16 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out["jaccard"] = jac
         return out[jac >= threshold]
 
+    from .relational import _shuffle_parts
+
     return (
         ds.map_batches(explode_grams, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(_shuffle_parts(COARSE_BUCKETS))
         .groupby("bucket")
         .map_groups(gram_pairs, batch_format="pandas")
         .map_batches(_add_pair_bucket, batch_format="pandas")
+        .repartition(_shuffle_parts(COARSE_BUCKETS))
         .groupby("pair_bucket")
         .map_groups(combine_and_finish, batch_format="pandas")
     )
@@ -676,9 +688,13 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
             "cosine": cos.astype(np.float64),
         })
 
+    from .relational import _shuffle_parts
+
+    n_groups = num_blocks * (num_blocks + 1) // 2
     return (
         ds.select_columns([id_col, vec_col])
         .map_batches(explode_groups, batch_format="pyarrow")
+        .repartition(_shuffle_parts(n_groups))
         .groupby("pair_group")
         .map_groups(group_pairs, batch_format="pandas")
     )
@@ -784,22 +800,26 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
         out["label"] = out["label"].astype("int64")  # null-pad float back to int
         return out
 
-    def tag_for_jump(side: int):
-        # side 0: (node, label) keyed by LABEL (the lookup target);
-        # side 1: the label table itself keyed by node
-        def fn(batch: pa.Table) -> pa.Table:
-            key = batch["label" if side == 0 else "node"].to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            n = len(batch)
-            return pa.table({
-                "node": batch["node"],
-                "label": batch["label"],
-                "bucket": pa.array(_bucket_of(key, num_buckets), type=pa.int64()),
-                "side": pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()),
-            })
-
-        return fn
+    def tag_for_jump(batch: pa.Table) -> pa.Table:
+        # ONE pass emits both shuffle sides — side 0: (node, label)
+        # keyed by LABEL (the lookup target); side 1: the label table
+        # itself keyed by node. A two-branch union here would consume
+        # the same upstream dataset twice in one streaming execution,
+        # which Ray 2.49's executor can deadlock on under a small CPU
+        # budget (observed: get_output_blocking stuck with all
+        # operators idle); the double-emit is also one fewer scan.
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(node)
+        key = np.concatenate([label, node])
+        side = np.concatenate([np.zeros(n, dtype=np.int8),
+                               np.ones(n, dtype=np.int8)])
+        return pa.table({
+            "node": pa.array(np.concatenate([node, node]), type=pa.int64()),
+            "label": pa.array(np.concatenate([label, label]), type=pa.int64()),
+            "bucket": pa.array(_bucket_of(key, num_buckets), type=pa.int64()),
+            "side": pa.array(side, type=pa.int8()),
+        })
 
     def jump(group: pd.DataFrame) -> pd.DataFrame:
         ask = group[group["side"] == 0][["node", "label"]]
@@ -814,19 +834,15 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
     prev_sum = None
     for _ in range(max_rounds):
         tagged = edges.union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        # pointer jumping: each node appears exactly once, so the jump
+        # output needs no re-combine
         labels = (
             tagged.groupby("bucket")
             .map_groups(propose, batch_format="pandas")
             .map_batches(bucket_by_node, batch_format="pyarrow")
             .groupby("nbucket")
             .map_groups(min_label, batch_format="pandas")
-            .materialize()  # consumed twice by the jump's two sides
-        )
-        # pointer jumping: each node appears exactly once, so the jump
-        # output needs no re-combine
-        labels = (
-            labels.map_batches(tag_for_jump(0), batch_format="pyarrow")
-            .union(labels.map_batches(tag_for_jump(1), batch_format="pyarrow"))
+            .map_batches(tag_for_jump, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(jump, batch_format="pandas")
             .materialize()

@@ -285,8 +285,11 @@ def top_words(ds, k: int = 20, text_col: str = "text", num_buckets: int = 64):
         return out.sort_values(["n", "word"], ascending=[False, True],
                                kind="mergesort").head(k)[["word", "n"]]
 
+    from .relational import _shuffle_parts
+
     return (
         ds.map_batches(partial, batch_format="pandas")
+        .repartition(_shuffle_parts(num_buckets))
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
         .sort(["n", "word"], descending=[True, False])
@@ -327,8 +330,11 @@ def doc_len_quantiles(ds, text_col: str = "text",
         out["cnt"] = out["cnt"].astype("int64")
         return out
 
+    from .relational import _shuffle_parts
+
     rows = (
         ds.map_batches(partial, batch_format="pandas")
+        .repartition(_shuffle_parts(64))
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
         .take_all()
