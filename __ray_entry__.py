@@ -302,6 +302,13 @@ def _len_quantiles(sf_dir: str):
     return doc_len_quantiles(read_table(sf_dir, "documents", ["text"]))
 
 
+def _seq_pack(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import seq_pack
+
+    return seq_pack(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _train_test_split(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.textstats import train_test_split_counts
@@ -409,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprints": _fingerprints,
         "t_top_words": _top_words,
         "t_len_quantiles": _len_quantiles,
+        "t_seq_pack": _seq_pack,
         "t_train_test_split": _train_test_split,
         "t_shuffled_sample": _shuffled_sample,
         # similarity search
@@ -829,6 +837,23 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) ps(p)
             JOIN r ON r.rk = GREATEST(1, CAST(CEIL(CAST(ps.p AS DOUBLE) * r.n) AS BIGINT))
             ORDER BY p
+        """,
+        # distributed prefix sum + sequence packing: integer window
+        # cumsum in stable doc_id order, pack = (cum-n) // max_len
+        "t_seq_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS n_tokens
+              FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+                   CAST((SUM(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS pack_id
+            FROM t
+            WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
         """,
         "t_train_test_split": """
             SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'

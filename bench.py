@@ -171,6 +171,7 @@ def main() -> None:
             "t_text_stats",
             "t_top_words",
             "t_len_quantiles",
+            "t_seq_pack",
             "t_hll_registers",
             "d_dedup_clusters",
             "s_knn_brute",

@@ -352,6 +352,94 @@ def doc_len_quantiles(ds, text_col: str = "text",
     return pd.DataFrame({"p": out_p, "n_tokens": pd.array(out_v, dtype="int64")})
 
 
+def seq_pack(ds, id_col: str = "doc_id", text_col: str = "text",
+             max_len: int = 2048, num_ranges: int = 1024):
+    """Distributed prefix sum over id order + greedy sequence packing.
+
+    The training-data op Ray Data has no native operator for: a
+    running total of per-document token counts in stable ``id_col``
+    order, from which each document gets its training-sequence
+    ``pack_id = (cum_tokens − n_tokens) // max_len`` (documents are
+    laid head-to-tail into fixed ``max_len`` token windows, split at
+    window boundaries — the standard pre-tokenized packing layout).
+
+    Scale shape — the classic two-phase scan, never a global sort:
+
+    1. one pass computes ``(id, n_tokens)`` (16 bytes/doc — this tiny
+       projection is what's materialized, never the text) and
+       range-partitions ids into ``num_ranges`` ordered ranges over
+       [min, max];
+    2. per-range token sums (one aggregate over ≤``num_ranges`` rows)
+       are exclusive-scanned on the driver — O(num_ranges), tiny —
+       and broadcast;
+    3. one bucket shuffle co-locates each range; inside a range the
+       prefix sum is a vectorized sort + ``cumsum`` over
+       ``N/num_ranges`` rows plus the range's scanned offset.
+
+    Every value is integer arithmetic, bit-replicable by a SQL window
+    ``SUM … ROWS UNBOUNDED PRECEDING``."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def tokens_of(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("")
+        stripped = text.str.strip()
+        n_tokens = np.where(
+            stripped.str.len() > 0, stripped.str.count(_WS_RE) + 1, 0
+        ).astype("int64")
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(dtype="int64"),
+                             "n_tokens": n_tokens})
+
+    counts = ds.map_batches(tokens_of, batch_format="pandas").materialize()
+    mm = counts.aggregate(Min(id_col, alias_name="lo"),
+                          Max(id_col, alias_name="hi"))
+    if not mm or mm.get("lo") is None:
+        return counts  # empty input: nothing to scan
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = max(1, hi - lo + 1)
+    width = max(1, -(-span // num_ranges))  # ceil: ranges cover [lo, hi]
+
+    def add_range(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["range"] = (batch[id_col].to_numpy(dtype="int64") - lo) // width
+        return batch
+
+    ranged = counts.map_batches(add_range, batch_format="pandas").materialize()
+
+    def range_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("range", as_index=False).agg(s=("n_tokens", "sum"))
+
+    partials = (
+        ranged.map_batches(range_partial, batch_format="pandas").take_all()
+    )  # ≤ num_ranges × num_batches tiny rows
+    per_range = np.zeros(num_ranges + 1, dtype=np.int64)
+    for r in partials:
+        per_range[int(r["range"])] += int(r["s"])
+    offsets = np.zeros(num_ranges, dtype=np.int64)
+    np.cumsum(per_range[:-1], out=offsets)
+    offsets -= per_range[:num_ranges]  # exclusive scan
+    offsets_ref = ray.put(offsets)
+
+    def scan_range(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        g = group.sort_values(id_col, kind="mergesort")
+        nt = g["n_tokens"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(nt) + off[int(g["range"].iloc[0])]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(dtype="int64"),
+            "n_tokens": nt,
+            "cum_tokens": cum,
+            "pack_id": (cum - nt) // max_len,
+        })
+
+    from .relational import _shuffle_parts
+
+    return (
+        ranged.repartition(_shuffle_parts(num_ranges))
+        .groupby("range")
+        .map_groups(scan_range, batch_format="pandas")
+    )
+
+
 class HllPartial:
     """Actor stage: per-batch HyperLogLog register partials for
     approximate distinct counting (the sketch pattern: tiny mergeable

@@ -140,3 +140,26 @@ def test_doc_len_quantiles_matches_sorted_rank(ray_session):
     n = len(n_tokens)
     for p, v in zip(got["p"], got["n_tokens"]):
         assert v == int(n_tokens[max(1, math.ceil(p * n)) - 1])
+
+
+def test_seq_pack_matches_window_cumsum(ray_session):
+    import ray.data as rd
+
+    from pdf4py_ray.stages.textstats import seq_pack
+
+    rng = np.random.default_rng(7)
+    # sparse, shuffled ids with gaps; texts of varying token counts
+    ids = rng.choice(np.arange(0, 5000, 3), size=600, replace=False)
+    texts = ["tok " * int(k) for k in rng.integers(0, 50, size=600)]
+    df = pd.DataFrame({"doc_id": ids.astype("int64"), "text": texts})
+    got = (seq_pack(rd.from_pandas(df.sample(frac=1, random_state=1)),
+                    max_len=128, num_ranges=16)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = df.sort_values("doc_id").reset_index(drop=True)
+    stripped = ref["text"].str.strip()
+    nt = np.where(stripped.str.len() > 0, stripped.str.count(r"\s+") + 1, 0)
+    cum = np.cumsum(nt)
+    assert (got["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (got["n_tokens"].to_numpy() == nt).all()
+    assert (got["cum_tokens"].to_numpy() == cum).all()
+    assert (got["pack_id"].to_numpy() == (cum - nt) // 128).all()
