@@ -200,6 +200,19 @@ def _dedup_clusters(sf_dir: str):
     return dedup_clusters(docs, minhash_dup_pairs(docs))
 
 
+def _cluster_best(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.dedup import cluster_best, minhash_dup_pairs
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    return cluster_best(docs, minhash_dup_pairs(docs), rows_hint=2 * n_docs)
+
+
 def _exact_dedup(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.dedup import exact_dedup_representatives
@@ -410,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_ngram_verify": _ngram_verify,
         "d_embedding_dups": _embedding_dups,
         "d_dedup_clusters": _dedup_clusters,
+        "d_cluster_best": _cluster_best,
         # text analysis
         "t_text_stats": _text_stats,
         "t_lang_id": _lang_id,
@@ -464,6 +478,34 @@ def oracle_sql() -> dict[str, str]:
     out["d_ngram_verify"] = (
         "SELECT id_a, id_b FROM (" + out["d_minhash_pairs"] + ")"
     )
+    # representative selection: per cluster the max-quality doc (tie →
+    # min id); clusters from the recursive CTE, quality from the
+    # t_text_stats expression — both already value-gated on their own
+    out["d_cluster_best"] = """
+        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (""" + out["d_minhash_pairs"] + """)),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        cc AS (
+          SELECT u AS node, u AS label FROM edges
+          UNION
+          SELECT e.u, c.label FROM edges e JOIN cc c ON e.v = c.node
+        ),
+        lab AS (SELECT node, MIN(label) AS root FROM cc GROUP BY node),
+        clusters AS (
+          SELECT d.doc_id, COALESCE(l.root, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+        ),
+        q AS (SELECT doc_id, quality_score FROM (""" + out["t_text_stats"] + """))
+        SELECT cluster_id, doc_id AS best_doc_id, quality_score AS best_quality
+        FROM (
+          SELECT c.cluster_id, c.doc_id, q.quality_score,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality_score DESC, c.doc_id) AS rn
+          FROM clusters c JOIN q ON q.doc_id = c.doc_id
+        ) WHERE rn = 1
+    """
     return out
 
 

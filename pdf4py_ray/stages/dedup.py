@@ -954,3 +954,69 @@ def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
         return out
 
     return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cluster_best(docs_ds, pairs_ds, id_col: str = "doc_id",
+                 rows_hint: int | None = None):
+    """Representative selection after near-dup clustering: per cluster,
+    keep the highest-quality document (``quality_score`` from
+    :class:`~.textstats.TextStats`; ties break to the smallest id) —
+    the "which copy survives dedup" decision of a training-data
+    pipeline, made on content quality instead of the default
+    min-id convention.
+
+    Scale shape: cluster labels (:func:`dedup_clusters`) and quality
+    scores join through the engine's bucket-shuffle
+    :func:`~.relational.hash_join` on the near-unique doc id
+    (``salt=1`` — no skew probe needed); the per-cluster argmax is one
+    global (quality desc, id asc) sort *inside coarse cluster buckets*
+    — a vectorized ``sort_values`` + stable ``groupby.head(1)`` per
+    bucket, never a per-cluster task. Output:
+    (cluster_id, best_doc_id, best_quality)."""
+    from .relational import _shuffle_parts, hash_join
+    from .textstats import text_stats
+
+    labels = dedup_clusters(docs_ds, pairs_ds, id_col=id_col).drop_columns(
+        ["is_representative"]
+    )
+    def rename_id(batch: pa.Table) -> pa.Table:
+        # Dataset.rename_columns in Ray 2.49 breaks on pandas-format
+        # upstream blocks (its UDF assumes Arrow); rename explicitly
+        return batch.rename_columns(
+            ["q_doc_id" if c == id_col else c for c in batch.column_names]
+        )
+
+    quality = (
+        text_stats(docs_ds)
+        .select_columns([id_col, "quality_score"])
+        .map_batches(rename_id, batch_format="pyarrow")
+    )
+    l_schema = pa.schema([(id_col, pa.int64()), ("cluster_id", pa.int64())])
+    r_schema = pa.schema([("q_doc_id", pa.int64()),
+                          ("quality_score", pa.float64())])
+    joined = hash_join(labels, quality, on=id_col, right_on="q_doc_id",
+                       left_schema=l_schema, right_schema=r_schema,
+                       rows_hint=rows_hint, salt=1)
+
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "cbucket", pa.array(_bucket_of(cl, COARSE_BUCKETS), type=pa.int64())
+        )
+
+    def best(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["quality_score", id_col],
+                              ascending=[False, True], kind="mergesort")
+        top = g.groupby("cluster_id", sort=False).head(1)
+        return pd.DataFrame({
+            "cluster_id": top["cluster_id"].to_numpy(dtype="int64"),
+            "best_doc_id": top[id_col].to_numpy(dtype="int64"),
+            "best_quality": top["quality_score"].to_numpy(dtype="float64"),
+        })
+
+    return (
+        joined.map_batches(add_cbucket, batch_format="pyarrow")
+        .repartition(_shuffle_parts(COARSE_BUCKETS, rows_hint))
+        .groupby("cbucket")
+        .map_groups(best, batch_format="pandas")
+    )

@@ -74,6 +74,7 @@ SQL_CHECKED = [
     "d_exact_dup_groups",
     "d_ngram_jaccard",
     "d_embedding_dups",
+    "d_cluster_best",
     "t_text_stats",
     "t_top_words",
     "t_len_quantiles",
