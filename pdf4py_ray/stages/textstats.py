@@ -403,13 +403,15 @@ def seq_pack(ds, id_col: str = "doc_id", text_col: str = "text",
         batch["range"] = (batch[id_col].to_numpy(dtype="int64") - lo) // width
         return batch
 
-    ranged = counts.map_batches(add_range, batch_format="pandas").materialize()
-
     def range_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("range", as_index=False).agg(s=("n_tokens", "sum"))
 
+    # add_range is a cheap vectorized tag: fuse it into both consumers
+    # of `counts` instead of materializing a second intermediate
     partials = (
-        ranged.map_batches(range_partial, batch_format="pandas").take_all()
+        counts.map_batches(add_range, batch_format="pandas")
+        .map_batches(range_partial, batch_format="pandas")
+        .take_all()
     )  # ≤ num_ranges × num_batches tiny rows
     per_range = np.zeros(num_ranges + 1, dtype=np.int64)
     for r in partials:
@@ -434,7 +436,8 @@ def seq_pack(ds, id_col: str = "doc_id", text_col: str = "text",
     from .relational import _shuffle_parts
 
     return (
-        ranged.repartition(_shuffle_parts(num_ranges))
+        counts.map_batches(add_range, batch_format="pandas")
+        .repartition(_shuffle_parts(num_ranges))
         .groupby("range")
         .map_groups(scan_range, batch_format="pandas")
     )
