@@ -315,6 +315,14 @@ def _len_quantiles(sf_dir: str):
     return doc_len_quantiles(read_table(sf_dir, "documents", ["text"]))
 
 
+def _stratified_sample(sf_dir: str):
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.textstats import stratified_sample, text_stats
+
+    ds = text_stats(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return stratified_sample(ds.select_columns(["doc_id", "lang_pred"]))
+
+
 def _seq_pack(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.textstats import seq_pack
@@ -431,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_words": _top_words,
         "t_len_quantiles": _len_quantiles,
         "t_seq_pack": _seq_pack,
+        "t_stratified_sample": _stratified_sample,
         "t_train_test_split": _train_test_split,
         "t_shuffled_sample": _shuffled_sample,
         # similarity search
@@ -481,6 +490,21 @@ def oracle_sql() -> dict[str, str]:
     # representative selection: per cluster the max-quality doc (tie →
     # min id); clusters from the recursive CTE, quality from the
     # t_text_stats expression — both already value-gated on their own
+    # stratified sample: n smallest md5(id-seed) ranks per language
+    # group — language from the already-gated t_lang_id expression
+    out["t_stratified_sample"] = """
+        WITH l AS (""" + out["t_lang_id"] + """),
+        r AS (
+          SELECT lang_pred, doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || '-42') AS sort_key,
+                 row_number() OVER (
+                   PARTITION BY lang_pred
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '-42')
+                 ) AS rn
+          FROM l
+        )
+        SELECT lang_pred, doc_id, sort_key FROM r WHERE rn <= 20
+    """
     out["d_cluster_best"] = """
         WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (""" + out["d_minhash_pairs"] + """)),
         edges AS (

@@ -352,6 +352,41 @@ def doc_len_quantiles(ds, text_col: str = "text",
     return pd.DataFrame({"p": out_p, "n_tokens": pd.array(out_v, dtype="int64")})
 
 
+def stratified_sample(ds, group_col: str = "lang_pred", n: int = 20,
+                      seed: int = 42, id_col: str = "doc_id"):
+    """Deterministic stratified sample: the ``n`` rows with the
+    smallest ``md5('{id}-{seed}')`` rank *per group* (the balanced
+    per-language/per-domain subset selection of a training-data
+    pipeline). Same distributed-top-k shape as :func:`hash_sample`,
+    per group: each batch prunes itself to its local ``n`` smallest
+    keys per group (the combiner), so the group shuffle moves at most
+    ``n × groups × num_batches`` rows — O(sample), never the corpus;
+    the per-group finish is one vectorized sort + ``head(n)``.
+    Membership is a pure function of (id, seed), so re-runs, resumes
+    and the SQL oracle (``row_number() OVER (PARTITION BY g ORDER BY
+    md5(...)) <= n``) agree exactly. Returns
+    (group, id, sort_key) rows."""
+    from hashlib import md5 as _md5
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(sort_key=[
+            _md5(f"{i}-{seed}".encode()).hexdigest() for i in batch[id_col]
+        ])
+        batch = batch.sort_values("sort_key", kind="mergesort")
+        return batch.groupby(group_col, sort=False).head(n)[
+            [group_col, id_col, "sort_key"]
+        ]
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("sort_key", kind="mergesort").head(n)
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def seq_pack(ds, id_col: str = "doc_id", text_col: str = "text",
              max_len: int = 2048, num_ranges: int = 1024):
     """Distributed prefix sum over id order + greedy sequence packing.

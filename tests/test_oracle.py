@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "t_top_words",
     "t_len_quantiles",
     "t_seq_pack",
+    "t_stratified_sample",
     "t_train_test_split",
     "t_shuffled_sample",
     "s_knn_brute",

@@ -163,3 +163,25 @@ def test_seq_pack_matches_window_cumsum(ray_session):
     assert (got["n_tokens"].to_numpy() == nt).all()
     assert (got["cum_tokens"].to_numpy() == cum).all()
     assert (got["pack_id"].to_numpy() == (cum - nt) // 128).all()
+
+
+def test_stratified_sample_per_group_topn(ray_session):
+    from hashlib import md5
+
+    import ray.data as rd
+
+    from pdf4py_ray.stages.textstats import stratified_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype="int64"),
+        "grp": np.array(["a", "b", "c", "d"])[np.arange(400) % 4],
+    })
+    got = (stratified_sample(rd.from_pandas(df), group_col="grp", n=5, seed=9)
+           .to_pandas().sort_values(["grp", "sort_key"]).reset_index(drop=True))
+    ref = df.assign(sort_key=[md5(f"{i}-9".encode()).hexdigest()
+                              for i in df["doc_id"]])
+    ref = (ref.sort_values("sort_key").groupby("grp", sort=False).head(5)
+           [["grp", "doc_id", "sort_key"]]
+           .sort_values(["grp", "sort_key"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["grp", "doc_id", "sort_key"]], ref)
+    assert (got.groupby("grp").size() == 5).all()
