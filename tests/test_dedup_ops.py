@@ -333,3 +333,50 @@ def test_ngram_verify_joined_path_matches_broadcast(near_dup_docs):
               for r in ngram_jaccard_verify(
                   near_dup_docs, pairs, candidate_limit=0).take_all()}
     assert broad == joined and len(joined) > 0
+
+
+def test_distributed_components_moderate_graph(ray_session):
+    """A 60k-edge synthetic cluster graph (20k nodes in ~4k random
+    clusters, plus one 64-node chain for diameter) converges and
+    matches a local union-find — the fallback at a realistic pair-graph
+    size, not a toy."""
+    import ray.data as rd
+
+    from pdf4py_ray.stages.dedup import distributed_components
+
+    rng = np.random.default_rng(3)
+    edges = []
+    node = 0
+    for _ in range(4000):  # clusters of 2-8 nodes, star + a random chord
+        size = int(rng.integers(2, 9))
+        members = list(range(node, node + size))
+        node += size
+        for m in members[1:]:
+            edges.append((members[0], m))
+        if size > 3:
+            edges.append((members[1], members[2]))
+    chain_base = node
+    for i in range(63):  # diameter-63 chain exercises pointer jumping
+        edges.append((chain_base + i, chain_base + i + 1))
+
+    # local union-find reference
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    want = {x: find(x) for x in {n for e in edges for n in e}}
+
+    pairs = rd.from_pandas(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {r["node"]: r["label"]
+           for r in distributed_components(pairs).take_all()}
+    assert got == want
