@@ -408,6 +408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_by_segment": rel.revenue_by_segment,
         "q_orders_per_nation": rel.orders_per_nation,
         "q_orders_per_nation_native": rel.orders_per_nation_native,
+        "q_customer_order_counts": rel.customer_order_counts,
+        "q_customers_with_orders": rel.customers_with_orders,
+        "q_customers_no_orders": rel.customers_without_orders,
         "q_customers_per_region": rel.customers_per_region,
         "q_local_supplier_revenue": rel.local_supplier_revenue,
         "q_parts_by_brand": rel.parts_by_brand,
@@ -598,6 +601,28 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        # high-value filter (o_totalprice > 440000) keeps all three join
+        # modes non-vacuous: unmatched customers genuinely exist
+        "q_customer_order_counts": """
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN (
+              SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_totalprice > 440000.0
+            ) o ON o.o_custkey = c_custkey
+            GROUP BY c_custkey
+        """,
+        "q_customers_with_orders": """
+            SELECT c_custkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 440000.0)
+        """,
+        "q_customers_no_orders": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 440000.0)
         """,
         "q_orders_per_nation_native": """
             SELECT c_nationkey,

@@ -227,8 +227,8 @@ def _detect_salt(left, on: str, sample_rows: int = _SALT_SAMPLE_ROWS) -> int:
 def hash_join(left, right, on: str, right_on: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
               num_buckets: int | None = None, rows_hint: int | None = None,
-              salt: int | None = None):
-    """Distributed inner hash join as a bucket shuffle: both sides are
+              salt: int | None = None, how: str = "inner"):
+    """Distributed hash join as a bucket shuffle: both sides are
     tagged with ``hash(key) % num_buckets``, unioned (columns of the
     other side padded with typed nulls so the Arrow schema unifies),
     co-located with ONE single-int64-key ``groupby``, and merged
@@ -254,7 +254,18 @@ def hash_join(left, right, on: str, right_on: str,
     default) AUTO-detects skew with :func:`_detect_salt` — a bounded
     head sample of probe keys; pass ``salt=1`` explicitly when the key
     is known near-unique (e.g. the dedup pair-id joins) to skip the
-    probe."""
+    probe.
+
+    ``how`` ∈ {"inner", "left", "semi", "anti"}. All modes share the
+    one bucket shuffle; they differ only in the per-bucket pandas
+    kernel. "left" keeps unmatched probe rows (right columns null —
+    emitted through pandas nullable dtypes so the Arrow schema stays
+    typed); "semi"/"anti" emit probe rows with ≥1 / 0 build matches
+    (EXISTS / NOT EXISTS) and carry only the left columns. Salting
+    stays correct for every mode: a probe row lands in exactly one
+    sub-bucket and the build side is replicated into all of them, so
+    each probe row still sees the full set of its key's build rows."""
+    assert how in ("inner", "left", "semi", "anti"), how
     left_names = [f.name for f in left_schema]
     right_names = [f.name for f in right_schema]
     assert not (set(left_names) & set(right_names)), "join sides must not share names"
@@ -302,20 +313,103 @@ def hash_join(left, right, on: str, right_on: str,
         right.map_batches(tagger(right_on, right_schema, 1), batch_format="pyarrow")
     ).repartition(_shuffle_parts(num_buckets * salt, rows_hint))
 
-    out_schema = pa.schema(unified)
+    out_schema = pa.schema(unified) if how in ("inner", "left") else left_schema
+    # pandas nullable dtypes for right-side columns of a left join:
+    # unmatched rows must stay typed (int64+null, not float64 NaN)
+    _NULLABLE = {pa.int64(): "Int64", pa.int32(): "Int32",
+                 pa.bool_(): "boolean", pa.float64(): "Float64"}
+    right_nullable = {f.name: _NULLABLE[f.type] for f in right_schema
+                      if f.type in _NULLABLE} if how == "left" else {}
 
     def merge(group: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
         lhs = group.filter(_pc.equal(group["__side"], 0)).select(left_names).to_pandas()
         rhs = group.filter(_pc.equal(group["__side"], 1)).select(right_names).to_pandas()
-        merged = lhs.merge(rhs, left_on=on, right_on=right_on)
+        if how in ("semi", "anti"):
+            mask = lhs[on].isin(rhs[right_on].unique())
+            merged = lhs[mask if how == "semi" else ~mask]
+        else:
+            merged = lhs.merge(rhs, left_on=on, right_on=right_on, how=how)
+            if right_nullable:
+                merged = merged.astype(right_nullable)
         # emit a TYPED Arrow table: a raw pandas return would let Ray
         # re-infer column types per block (e.g. ndarray cells become
         # tensor-extension arrays), breaking downstream schema unify
         return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+_HIGH_VALUE_ORDER = 440_000.0  # price filter so every join mode is non-vacuous
+
+
+def customer_order_counts(sf_dir: str):
+    """customer LEFT JOIN high-value orders → per-customer count
+    INCLUDING zero-order customers (the rows only an outer join can
+    produce — the price filter guarantees unmatched customers exist),
+    then the standard partial-agg + coarse-bucket combine."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {_HIGH_VALUE_ORDER}").drop_columns(
+        ["o_totalprice"]
+    )
+    c_schema = _projected_schema(sf_dir, "customer", ["c_custkey"])
+    o_schema = _projected_schema(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    rows = _table_rows(sf_dir, "customer") + _table_rows(sf_dir, "orders")
+    j = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                  left_schema=c_schema, right_schema=o_schema,
+                  rows_hint=rows, salt=1, how="left")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # count() skips the nulls of unmatched customers → 0
+        out = batch.groupby("c_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "count"))
+        out["n_orders"] = out["n_orders"].astype("int64")
+        k = out["c_custkey"].to_numpy(dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            out["bucket"] = ((k * np.uint64(0x9E3779B97F4A7C15))
+                             % np.uint64(64)).astype("int64")
+        return out
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("c_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    return (
+        j.map_batches(partial, batch_format="pandas")
+        .repartition(_shuffle_parts(64, rows))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _customers_orders_exists(sf_dir: str, how: str):
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {_HIGH_VALUE_ORDER}").drop_columns(
+        ["o_totalprice"]
+    )
+    c_schema = _projected_schema(sf_dir, "customer", ["c_custkey"])
+    o_schema = _projected_schema(sf_dir, "orders", ["o_custkey"])
+    rows = _table_rows(sf_dir, "customer") + _table_rows(sf_dir, "orders")
+    return hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                     left_schema=c_schema, right_schema=o_schema,
+                     rows_hint=rows, salt=1, how=how)
+
+
+def customers_with_orders(sf_dir: str):
+    """Semi join (EXISTS): customers with ≥1 high-value order."""
+    return _customers_orders_exists(sf_dir, "semi")
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no high-value order."""
+    return _customers_orders_exists(sf_dir, "anti")
 
 
 def orders_per_nation(sf_dir: str):

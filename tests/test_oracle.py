@@ -75,6 +75,9 @@ SQL_CHECKED = [
     "d_ngram_jaccard",
     "d_embedding_dups",
     "d_cluster_best",
+    "q_customer_order_counts",
+    "q_customers_with_orders",
+    "q_customers_no_orders",
     "t_text_stats",
     "t_top_words",
     "t_len_quantiles",

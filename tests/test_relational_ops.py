@@ -281,3 +281,39 @@ def test_hash_join_auto_salt(ray_session):
     uni = pa.table({"l_key": pa.array((np.arange(4096) % 997).astype(np.int64)),
                     "l_val": pa.array(np.arange(4096, dtype=np.int64))})
     assert _detect_salt(_ds(ray_session, uni, 4), "l_key") == 1
+
+
+def test_hash_join_outer_semi_anti_modes(ray_session):
+    """left/semi/anti produce exactly the pandas reference, with and
+    without salting (a probe row must see its key's full build side in
+    its one sub-bucket)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf4py_ray.stages.relational import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4, 5], "lv": [10, 20, 30, 40, 41, 50]})
+    right = pd.DataFrame({"rk": [2, 4, 4, 6], "rv": [200, 400, 401, 600]})
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("rk", pa.int64()), ("rv", pa.int64())])
+
+    for salt in (1, 4):
+        lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+        outer = (hash_join(lds, rds, "k", "rk", ls, rs, num_buckets=8,
+                           salt=salt, how="left").to_pandas()
+                 .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+        ref = (left.merge(right, left_on="k", right_on="rk", how="left")
+               .astype({"rk": "Int64", "rv": "Int64"})
+               .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+        assert len(outer) == len(ref) == 8  # 4 matches ×? + unmatched 1,3,5
+        assert outer["rv"].isna().sum() == 3
+        assert (outer["lv"].to_numpy() == ref["lv"].to_numpy()).all()
+        assert outer["rv"].fillna(-1).astype("int64").tolist() == \
+            ref["rv"].fillna(-1).astype("int64").tolist()
+
+        semi = sorted(hash_join(lds, rds, "k", "rk", ls, rs, num_buckets=8,
+                                salt=salt, how="semi").to_pandas()["lv"])
+        assert semi == [20, 40, 41]
+        anti = sorted(hash_join(lds, rds, "k", "rk", ls, rs, num_buckets=8,
+                                salt=salt, how="anti").to_pandas()["lv"])
+        assert anti == [10, 30, 50]
