@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_by_segment": rel.revenue_by_segment,
         "q_orders_per_nation": rel.orders_per_nation,
         "q_orders_per_nation_native": rel.orders_per_nation_native,
+        "q_event_gaps": rel.event_gaps,
         "q_customer_order_counts": rel.customer_order_counts,
         "q_customers_with_orders": rel.customers_with_orders,
         "q_customers_no_orders": rel.customers_without_orders,
@@ -601,6 +602,16 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        # LAG window in exact integer microseconds; (ts, event_id)
+        # tie-break pins the order on both sides
+        "q_event_gaps": """
+            SELECT event_id,
+                   CAST(COALESCE(date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts), 0)
+                        AS BIGINT) AS gap_us
+            FROM events
         """,
         # high-value filter (o_totalprice > 440000) keeps all three join
         # modes non-vacuous: unmatched customers genuinely exist

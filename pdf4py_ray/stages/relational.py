@@ -807,6 +807,47 @@ def trailing_event_avg(sf_dir: str, window: int = 3):
     return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
 
 
+def event_gaps(sf_dir: str, num_buckets: int = 64):
+    """Per-user LAG window: each event's time gap to the user's
+    previous event (first event → 0), in exact integer microseconds —
+    the remaining classic window shape (LAG/LEAD) next to the rolling
+    frame (`trailing_event_avg`) and sessionization.
+
+    Same physical plan as sessionization: one coarse user-bucket
+    shuffle co-locates each user's events; inside a bucket the lag is
+    one vectorized sort by (user, ts, event_id) + int64-µs ``diff``
+    masked at user boundaries — never a per-user task. The (ts,
+    event_id) tie-break makes the order — and therefore the gap —
+    deterministic on both the engine and SQL sides."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((uid * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def gaps_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # pin the unit: pandas may carry ns where the oracle counts µs
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        gap = np.diff(ts_us, prepend=ts_us[0] if len(ts_us) else 0)
+        first = ~g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        gap[first] = 0
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype="int64"),
+            "gap_us": gap.astype("int64"),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(_shuffle_parts(num_buckets, _table_rows(sf_dir, "events")))
+        .groupby("bucket")
+        .map_groups(gaps_bucket, batch_format="pandas")
+    )
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     """Sessionization: per-user ordered gap analysis.
 

@@ -75,6 +75,7 @@ SQL_CHECKED = [
     "d_ngram_jaccard",
     "d_embedding_dups",
     "d_cluster_best",
+    "q_event_gaps",
     "q_customer_order_counts",
     "q_customers_with_orders",
     "q_customers_no_orders",
