@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_per_nation": rel.orders_per_nation,
         "q_orders_per_nation_native": rel.orders_per_nation_native,
         "q_event_gaps": rel.event_gaps,
+        "q_users_per_event_type": rel.users_per_event_type,
         "q_customer_order_counts": rel.customer_order_counts,
         "q_customers_with_orders": rel.customers_with_orders,
         "q_customers_no_orders": rel.customers_without_orders,
@@ -602,6 +603,13 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        # exact COUNT(DISTINCT) per group — the exact counterpart of
+        # the HLL sketch gate (t_hll_registers)
+        "q_users_per_event_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         # LAG window in exact integer microseconds; (ts, event_id)
         # tie-break pins the order on both sides

@@ -807,6 +807,42 @@ def trailing_event_avg(sf_dir: str, window: int = 3):
     return daily.groupby("event_type").map_groups(rolling, batch_format="pandas")
 
 
+def users_per_event_type(sf_dir: str, num_buckets: int = 64):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact
+    counterpart of the HLL sketch (``t_hll_registers``), as two-level
+    aggregation: each batch dedupes its own (type, user) pairs first
+    (the combiner — the shuffle moves distinct-pair rows, not events),
+    one user-bucket shuffle makes the dedupe global (a pair lives in
+    exactly one bucket), per-bucket partial counts, then a tiny final
+    sum over ≤ types × buckets rows."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_dedupe(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.drop_duplicates()
+        u = out["user_id"].to_numpy(dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            out["bucket"] = ((u * np.uint64(0x9E3779B97F4A7C15))
+                             % np.uint64(num_buckets)).astype("int64")
+        return out
+
+    def count_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["event_type", "user_id"])
+        out = g.groupby("event_type", as_index=False).agg(n=("user_id", "count"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(local_dedupe, batch_format="pandas")
+        .repartition(_shuffle_parts(num_buckets, _table_rows(sf_dir, "events")))
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
 def event_gaps(sf_dir: str, num_buckets: int = 64):
     """Per-user LAG window: each event's time gap to the user's
     previous event (first event → 0), in exact integer microseconds —

@@ -76,6 +76,7 @@ SQL_CHECKED = [
     "d_embedding_dups",
     "d_cluster_best",
     "q_event_gaps",
+    "q_users_per_event_type",
     "q_customer_order_counts",
     "q_customers_with_orders",
     "q_customers_no_orders",
