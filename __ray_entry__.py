@@ -67,6 +67,14 @@ _ship_package_by_value()
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — free (no data read);
+    used as the ``rows_hint`` that sizes/skips pre-groupby exchanges."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
+
 def entry() -> Any:
     """Flagship pipeline: synthesize transcript turns from sf0.001
     documents, extract main content (PDF/HTML/plain), stable-sort."""
@@ -197,7 +205,8 @@ def _dedup_clusters(sf_dir: str):
     from pdf4py_ray.stages.dedup import dedup_clusters, minhash_dup_pairs
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return dedup_clusters(docs, minhash_dup_pairs(docs))
+    n_docs = _table_rows(sf_dir, "documents")
+    return dedup_clusters(docs, minhash_dup_pairs(docs, rows_hint=n_docs))
 
 
 def _cluster_best(sf_dir: str):
@@ -205,12 +214,9 @@ def _cluster_best(sf_dir: str):
     from pdf4py_ray.stages.dedup import cluster_best, minhash_dup_pairs
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    import pyarrow.parquet as _pq
-
-    n_docs = _pq.read_metadata(
-        os.path.join(sf_dir, "documents.parquet")
-    ).num_rows
-    return cluster_best(docs, minhash_dup_pairs(docs), rows_hint=2 * n_docs)
+    n_docs = _table_rows(sf_dir, "documents")
+    return cluster_best(docs, minhash_dup_pairs(docs, rows_hint=n_docs),
+                        rows_hint=2 * n_docs)
 
 
 def _exact_dedup(sf_dir: str):
@@ -235,14 +241,16 @@ def _minhash_pairs(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.dedup import minhash_dup_pairs
 
-    return minhash_dup_pairs(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return minhash_dup_pairs(read_table(sf_dir, "documents", ["doc_id", "text"]),
+                             rows_hint=_table_rows(sf_dir, "documents"))
 
 
 def _simhash_pairs(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.dedup import simhash_candidates
 
-    return simhash_candidates(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_candidates(read_table(sf_dir, "documents", ["doc_id", "text"]),
+                              rows_hint=_table_rows(sf_dir, "documents"))
 
 
 def _ngram_jaccard(sf_dir: str):
@@ -252,6 +260,7 @@ def _ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(
         read_table(sf_dir, "documents", ["doc_id", "text"]),
         n=5, threshold=0.5, id_limit=256,
+        rows_hint=min(256, _table_rows(sf_dir, "documents")),
     )
 
 
@@ -260,7 +269,7 @@ def _ngram_verify(sf_dir: str):
     from pdf4py_ray.stages.dedup import minhash_dup_pairs, ngram_jaccard_verify
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_dup_pairs(docs)
+    pairs = minhash_dup_pairs(docs, rows_hint=_table_rows(sf_dir, "documents"))
     return ngram_jaccard_verify(docs, pairs).select_columns(["id_a", "id_b"])
 
 
@@ -305,14 +314,16 @@ def _top_words(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.textstats import top_words
 
-    return top_words(read_table(sf_dir, "documents", ["text"]))
+    return top_words(read_table(sf_dir, "documents", ["text"]),
+                     rows_hint=_table_rows(sf_dir, "documents"))
 
 
 def _len_quantiles(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.textstats import doc_len_quantiles
 
-    return doc_len_quantiles(read_table(sf_dir, "documents", ["text"]))
+    return doc_len_quantiles(read_table(sf_dir, "documents", ["text"]),
+                             rows_hint=_table_rows(sf_dir, "documents"))
 
 
 def _stratified_sample(sf_dir: str):
@@ -327,7 +338,8 @@ def _seq_pack(sf_dir: str):
     from pdf4py_ray.sources.transcripts import read_table
     from pdf4py_ray.stages.textstats import seq_pack
 
-    return seq_pack(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return seq_pack(read_table(sf_dir, "documents", ["doc_id", "text"]),
+                    rows_hint=_table_rows(sf_dir, "documents"))
 
 
 def _train_test_split(sf_dir: str):

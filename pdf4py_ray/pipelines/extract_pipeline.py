@@ -192,7 +192,9 @@ def range_sorted(ds, split_points: list, sort_keys=None, keep_bucket: bool = Tru
 
     def tag(batch: pa.Table) -> pa.Table:
         sp = ray.get(splits_ref)
-        vals = np.asarray(batch[keys[0]].to_pylist())
+        # one C-level Arrow→numpy conversion of the key column (object
+        # dtype) — never a per-row to_pylist materialization
+        vals = batch[keys[0]].to_numpy(zero_copy_only=False)
         bucket = np.searchsorted(sp, vals, side="right").astype(np.int64)
         return batch.append_column("sort_bucket", pa.array(bucket, type=pa.int64()))
 
@@ -244,7 +246,7 @@ def stable_sorted_write(ds, out_dir: str, split_points: list,
 
     def tag(batch: pa.Table) -> pa.Table:
         sp = ray.get(splits_ref)
-        vals = np.asarray(batch[keys[0]].to_pylist())
+        vals = batch[keys[0]].to_numpy(zero_copy_only=False)
         bucket = np.searchsorted(sp, vals, side="right").astype(np.int64)
         return batch.append_column("sort_bucket", pa.array(bucket, type=pa.int64()))
 

@@ -109,24 +109,36 @@ class MinHashSignatures:
         self.a, self.b = minhash_params(NUM_PERM)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[self.text_col].to_pylist()
-        out_sig, out_bands = [], []
-        for text in texts:
-            sig = minhash_signature(_shingle_hashes(text), self.a, self.b)
-            out_sig.append(sig.astype(np.int64).tolist())
-            out_bands.append([int(bh) for bh in band_hashes(sig, NUM_BANDS)])
+        n = len(texts)
+        sigs = np.empty((n, NUM_PERM), dtype=np.uint64)
+        for i, text in enumerate(texts):  # shingling is inherently per-doc
+            sigs[i] = minhash_signature(_shingle_hashes(text), self.a, self.b)
+        bands = np.empty((n, NUM_BANDS), dtype=np.int64)
+        for i in range(n):  # blake2b per (doc, band) chunk
+            bands[i] = band_hashes(sigs[i], NUM_BANDS)
+        # flat values + offset-stepped ListArrays: no per-doc Python
+        # list objects (~80 objects/doc in the naive construction)
+        sig_off = pa.array(np.arange(0, (n + 1) * NUM_PERM, NUM_PERM,
+                                     dtype=np.int32))
+        band_off = pa.array(np.arange(0, (n + 1) * NUM_BANDS, NUM_BANDS,
+                                      dtype=np.int32))
         return pa.table(
             {
                 self.id_col: pa.array(ids, type=pa.int64()),
-                "signature": pa.array(out_sig, type=pa.list_(pa.int64())),
-                "band_hashes": pa.array(out_bands, type=pa.list_(pa.int64())),
+                "signature": pa.ListArray.from_arrays(
+                    sig_off, pa.array(sigs.astype(np.int64).ravel(),
+                                      type=pa.int64())),
+                "band_hashes": pa.ListArray.from_arrays(
+                    band_off, pa.array(bands.ravel(), type=pa.int64())),
             }
         )
 
 
 def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                      threshold: float = 0.8, concurrency=(2, 8)):
+                      threshold: float = 0.8, concurrency=(2, 8),
+                      rows_hint: int | None = None):
     """Near-duplicate pairs via MinHash-LSH.
 
     Shuffle-volume design: the 64-int64 signature is NOT duplicated
@@ -142,6 +154,9 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     near-dups ≪ corpus), verification instead broadcasts the candidate
     ids, semi-joins the sketch table distributed and verifies against
     only the involved signatures — one distributed filter, no shuffle.
+    ``rows_hint`` (the known corpus row count, e.g. parquet metadata)
+    sizes the two pre-groupby exchanges — see
+    :func:`~.relational.shuffle_coalesced`.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
     sketches = ds.map_batches(
@@ -154,14 +169,16 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = batch["band_hashes"].to_pylist()
         n = len(ids)
+        # fixed NUM_BANDS entries per row by construction → the list
+        # column's flat value buffer is already in (doc, band) order
+        flat = (batch["band_hashes"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64))
         return pa.table({
             id_col: pa.array(np.repeat(ids, NUM_BANDS), type=pa.int64()),
             "band": pa.array(np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
                              type=pa.int32()),
-            "band_hash": pa.array(np.asarray(bh, dtype=np.int64).ravel(),
-                                  type=pa.int64()),
+            "band_hash": pa.array(flat, type=pa.int64()),
         })
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -187,16 +204,23 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(["id_a", "id_b"])
 
-    from .relational import _shuffle_parts
+    from .relational import shuffle_coalesced
 
-    candidates = (
+    band_rows = rows_hint * NUM_BANDS if rows_hint is not None else None
+    bands = shuffle_coalesced(
         sketches.map_batches(explode_bands, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(_shuffle_parts(COARSE_BUCKETS))
-        .groupby("bucket")
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        COARSE_BUCKETS, band_rows,
+    )
+    raw_pairs = (
+        bands.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(_add_pair_bucket, batch_format="pandas")
-        .repartition(_shuffle_parts(COARSE_BUCKETS))
+    )
+    candidates = (
+        # candidate pairs ≪ corpus in the LSH regime; corpus rows is a
+        # serviceable upper-bound hint for the pair exchange
+        shuffle_coalesced(raw_pairs, COARSE_BUCKETS, rows_hint)
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
         .materialize()  # pair ids only — tiny relative to the corpus
@@ -309,11 +333,13 @@ class SimHash64:
 
 
 def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3, concurrency=(2, 8)):
+                       max_hamming: int = 3, concurrency=(2, 8),
+                       rows_hint: int | None = None):
     """Near-dup candidates with Hamming distance ≤ ``max_hamming``:
     band the 63 usable bits into 4 blocks (pigeonhole: any pair within
     distance 3 agrees on ≥1 block), groupby block value, verify
-    distance inside the bucket."""
+    distance inside the bucket. ``rows_hint`` (known corpus rows) sizes
+    the two pre-groupby exchanges."""
     fps = ds.select_columns([id_col, text_col]).map_batches(
         SimHash64, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency, batch_size=512,
@@ -363,18 +389,23 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
             .reset_index()
         )
 
-    from .relational import _shuffle_parts
+    from .relational import shuffle_coalesced
 
+    block_rows = rows_hint * 4 if rows_hint is not None else None
     pairs = (
-        fps.map_batches(explode_blocks, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(_shuffle_parts(COARSE_BUCKETS))
+        shuffle_coalesced(
+            fps.map_batches(explode_blocks, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow"),
+            COARSE_BUCKETS, block_rows,
+        )
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return (
-        pairs.map_batches(_add_pair_bucket, batch_format="pandas")
-        .repartition(_shuffle_parts(COARSE_BUCKETS))
+        shuffle_coalesced(
+            pairs.map_batches(_add_pair_bucket, batch_format="pandas"),
+            COARSE_BUCKETS, rows_hint,
+        )
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
     )
@@ -392,7 +423,8 @@ def char_grams(s: str, n: int = 5) -> set:
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 5, threshold: float = 0.5,
                         id_limit: int | None = None,
-                        max_gram_df: int | None = 10_000):
+                        max_gram_df: int | None = None,
+                        rows_hint: int | None = None):
     """Exact char-n-gram Jaccard pairs via a distributed inverted index.
 
     Scale path (no quadratic all-pairs pass over text): per-doc
@@ -405,16 +437,21 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     on a bounded or pre-filtered set; unbounded corpora should use
     :func:`minhash_dup_pairs` + :func:`ngram_jaccard_verify`).
 
-    ``max_gram_df`` is the hot-gram guard: a gram shared by k docs
-    emits k² pair rows from the self-merge, so one stop-gram ("e the ")
-    in a large corpus is quadratic. Grams whose document frequency
-    exceeds the cap are dropped before pairing (standard stop-gram
-    filtering) and the drop is logged — never silent. All of a gram's
-    postings share one coarse bucket (bucket = gram % B), so the df
-    count is a local ``transform('size')``, no extra shuffle. Results
-    are exact whenever no gram exceeds the cap; beyond it, dropped
-    grams shrink intersections (Jaccard biases low — candidates, not
-    certificates). ``max_gram_df=None`` disables the guard.
+    ``max_gram_df`` is the OPT-IN hot-gram guard (default ``None`` —
+    the op is documented as *exact*, so nothing is dropped unless the
+    caller asks): a gram shared by k docs emits k² pair rows from the
+    self-merge, so one stop-gram ("e the ") in a large corpus is
+    quadratic. With a cap set, grams whose document frequency exceeds
+    it are dropped before pairing (standard stop-gram filtering) and
+    the drop is logged — never silent. All of a gram's postings share
+    one coarse bucket (bucket = gram % B), so the df count is a local
+    ``transform('size')``, no extra shuffle. With a cap, dropped grams
+    shrink intersections (Jaccard biases low — candidates, not
+    certificates); large-corpus callers should set one (10_000 is a
+    reasonable ceiling) or pre-filter stop-grams.
+    ``rows_hint`` (known input doc count) sizes the pair exchange; the
+    gram exchange keeps its barrier (gram rows ≈ total characters — it
+    pays at any realistic corpus size).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     if id_limit is not None:
@@ -487,16 +524,20 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out["jaccard"] = jac
         return out[jac >= threshold]
 
-    from .relational import _shuffle_parts
+    from .relational import _shuffle_parts, shuffle_coalesced
 
-    return (
+    grams = (
         ds.map_batches(explode_grams, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(_shuffle_parts(COARSE_BUCKETS))
-        .groupby("bucket")
-        .map_groups(gram_pairs, batch_format="pandas")
-        .map_batches(_add_pair_bucket, batch_format="pandas")
-        .repartition(_shuffle_parts(COARSE_BUCKETS))
+        .repartition(_shuffle_parts(COARSE_BUCKETS))  # gram rows: always large
+    )
+    return (
+        shuffle_coalesced(
+            grams.groupby("bucket")
+            .map_groups(gram_pairs, batch_format="pandas")
+            .map_batches(_add_pair_bucket, batch_format="pandas"),
+            COARSE_BUCKETS, rows_hint,
+        )
         .groupby("pair_bucket")
         .map_groups(combine_and_finish, batch_format="pandas")
     )
@@ -533,16 +574,20 @@ def _ngram_verify_joined(ds, pairs_ds, text_col: str, id_col: str, n: int,
     texts_a, ta_schema = side("a")
     texts_b, tb_schema = side("b")
     pairs = pairs_ds.select_columns(["id_a", "id_b"])
+    # LEFT joins: a candidate id absent from the corpus keeps its pair
+    # row with NULL text (scored as ''), matching the broadcast path's
+    # lookup.get(id, '') — both guards produce identical output
     j1 = hash_join(pairs, texts_a, "id_a", "tid_a", pair_schema, ta_schema,
-                   rows_hint=n_pairs * 2, salt=1)
+                   rows_hint=n_pairs * 2, salt=1, how="left")
     j1_schema = pa.schema(list(pair_schema) + list(ta_schema))
     j2 = hash_join(j1, texts_b, "id_b", "tid_b", j1_schema, tb_schema,
-                   rows_hint=n_pairs * 2, salt=1)
+                   rows_hint=n_pairs * 2, salt=1, how="left")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         jac = []
         for ta, tb in zip(batch["text_a"], batch["text_b"]):
-            ga, gb = char_grams(ta or "", n), char_grams(tb or "", n)
+            ga = char_grams(ta if isinstance(ta, str) else "", n)
+            gb = char_grams(tb if isinstance(tb, str) else "", n)
             union = len(ga | gb)
             jac.append(len(ga & gb) / union if union else 0.0)
         out = batch[["id_a", "id_b"]].copy()
@@ -568,6 +613,7 @@ def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "do
     """
     import ray
 
+    pairs_ds = pairs_ds.materialize()  # consumed twice (count + verify)
     n_pairs = pairs_ds.count()
     if n_pairs > candidate_limit:
         return _ngram_verify_joined(ds, pairs_ds, text_col, id_col, n, n_pairs)
@@ -757,9 +803,11 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
             "label": pa.array([], type=pa.int64()),
         }))
 
-    def init_labels(group: pd.DataFrame) -> pd.DataFrame:
-        nodes = group["node"].drop_duplicates().to_numpy(dtype=np.int64)
-        return pd.DataFrame({"node": nodes, "label": nodes})
+    def init_labels(group: pa.Table) -> pa.Table:
+        nodes = np.unique(group["node"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+        return pa.table({"node": pa.array(nodes, type=pa.int64()),
+                         "label": pa.array(nodes, type=pa.int64())})
 
     def bucket_by_node(batch: pa.Table) -> pa.Table:
         nodes = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -770,7 +818,7 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
     labels = (
         edges.map_batches(bucket_by_node, batch_format="pyarrow")
         .groupby("nbucket")
-        .map_groups(init_labels, batch_format="pandas")
+        .map_groups(init_labels, batch_format="pyarrow")
         .materialize()
     )
 
@@ -785,20 +833,48 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
             "side": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
         })
 
-    def propose(group: pd.DataFrame) -> pd.DataFrame:
-        lab = group[group["side"] == 1][["node", "label"]]
-        edg = group[group["side"] == 0][["node", "peer"]]
-        # neighbor candidates: edge (u ← peer) picks up peer's label
-        m = edg.merge(lab, left_on="peer", right_on="node",
-                      suffixes=("", "_peer"))
-        cand = m[["node", "label"]]
-        # own current label rides along (labels never increase)
-        return pd.concat([cand, lab], ignore_index=True)
+    # The round kernels below stay in int64 numpy end to end: routing
+    # node/label columns through pandas would promote them to float64
+    # via the union's null padding (fillna/merge), silently corrupting
+    # ids ≥ 2^53 — and 100 TB corpora legitimately use 64-bit hash ids.
 
-    def min_label(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby("node", as_index=False).agg(label=("label", "min"))
-        out["label"] = out["label"].astype("int64")  # null-pad float back to int
-        return out
+    def propose(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = group.filter(pc.equal(group["side"], 1))
+        edg = group.filter(pc.equal(group["side"], 0))
+        # side-filtered slices are null-free → to_numpy stays int64
+        lab_node = lab["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab_label = lab["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab_node, kind="mergesort")
+        ln, ll = lab_node[order], lab_label[order]
+        e_node = edg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        peer = edg["peer"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # neighbor candidates: edge (u ← peer) picks up peer's label.
+        # Every peer has a label row in this bucket (both are keyed by
+        # hash(peer)/hash(node)); the mask is defensive only.
+        if len(ln):
+            idx = np.searchsorted(ln, peer)
+            idx_c = np.minimum(idx, len(ln) - 1)
+            valid = ln[idx_c] == peer
+        else:  # no label rows in this bucket (cannot happen by keying)
+            idx_c = valid = np.zeros(len(peer), dtype=bool)
+        # own current label rides along (labels never increase)
+        out_node = np.concatenate([e_node[valid], lab_node])
+        out_label = np.concatenate([ll[idx_c[valid]], lab_label])
+        return pa.table({"node": pa.array(out_node, type=pa.int64()),
+                         "label": pa.array(out_label, type=pa.int64())})
+
+    def min_label(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        label = group["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="mergesort")
+        ns, ls = node[order], label[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        return pa.table({
+            "node": pa.array(ns[starts], type=pa.int64()),
+            "label": pa.array(np.minimum.reduceat(ls, starts), type=pa.int64()),
+        })
 
     def tag_for_jump(batch: pa.Table) -> pa.Table:
         # ONE pass emits both shuffle sides — side 0: (node, label)
@@ -821,15 +897,28 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
             "side": pa.array(side, type=pa.int8()),
         })
 
-    def jump(group: pd.DataFrame) -> pd.DataFrame:
-        ask = group[group["side"] == 0][["node", "label"]]
-        lut = group[group["side"] == 1][["node", "label"]].rename(
-            columns={"node": "tgt", "label": "tgt_label"}
-        )
-        m = ask.merge(lut, left_on="label", right_on="tgt")
-        out = m[["node", "tgt_label"]].rename(columns={"tgt_label": "label"})
-        out["label"] = out["label"].astype("int64")
-        return out
+    def jump(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ask = group.filter(pc.equal(group["side"], 0))
+        lut = group.filter(pc.equal(group["side"], 1))
+        a_node = ask["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_label = ask["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_node = lut["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_label = lut["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(l_node, kind="mergesort")
+        ln, ll = l_node[order], l_label[order]
+        # label(u) ← label(label(u)): every label value is itself a
+        # node, so the lookup always hits (mask defensive only)
+        if len(ln):
+            idx = np.minimum(np.searchsorted(ln, a_label), len(ln) - 1)
+            valid = ln[idx] == a_label
+        else:
+            idx = valid = np.zeros(len(a_label), dtype=bool)
+        return pa.table({
+            "node": pa.array(a_node[valid], type=pa.int64()),
+            "label": pa.array(ll[idx[valid]], type=pa.int64()),
+        })
 
     prev_sum = None
     for _ in range(max_rounds):
@@ -838,13 +927,13 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
         # output needs no re-combine
         labels = (
             tagged.groupby("bucket")
-            .map_groups(propose, batch_format="pandas")
+            .map_groups(propose, batch_format="pyarrow")
             .map_batches(bucket_by_node, batch_format="pyarrow")
             .groupby("nbucket")
-            .map_groups(min_label, batch_format="pandas")
+            .map_groups(min_label, batch_format="pyarrow")
             .map_batches(tag_for_jump, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(jump, batch_format="pandas")
+            .map_groups(jump, batch_format="pyarrow")
             .materialize()
         )
         agg = labels.aggregate(Sum("label", alias_name="s"))
@@ -886,17 +975,30 @@ def _assign_labels_distributed(docs_ds, labels_ds, id_col: str,
         tag_docs, batch_format="pyarrow"
     ).union(labels_ds.map_batches(tag_labels, batch_format="pyarrow"))
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        docs = group[group["side"] == 0][[id_col]]
-        lab = group[group["side"] == 1][[id_col, "label"]].rename(
-            columns={"label": "cluster_id"}
-        )
-        m = docs.merge(lab, on=id_col, how="left")
-        m["cluster_id"] = m["cluster_id"].fillna(m[id_col]).astype("int64")
-        m["is_representative"] = m["cluster_id"] == m[id_col]
-        return m
+    def assign(group: pa.Table) -> pa.Table:
+        # int64 numpy throughout: a pandas left-merge + fillna would
+        # round-trip the label column through float64 (lossy ≥ 2^53)
+        import pyarrow.compute as pc
 
-    return tagged.groupby("bucket").map_groups(assign, batch_format="pandas")
+        docs = group.filter(pc.equal(group["side"], 0))
+        lab = group.filter(pc.equal(group["side"], 1))
+        d_ids = docs[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_ids = lab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_lab = lab["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(l_ids, kind="mergesort")
+        ln, ll = l_ids[order], l_lab[order]
+        cluster = d_ids.copy()  # unlabeled (never-paired) docs → own id
+        if len(ln):
+            idx = np.minimum(np.searchsorted(ln, d_ids), len(ln) - 1)
+            hit = ln[idx] == d_ids
+            cluster[hit] = ll[idx[hit]]
+        return pa.table({
+            id_col: pa.array(d_ids, type=pa.int64()),
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+            "is_representative": pa.array(cluster == d_ids, type=pa.bool_()),
+        })
+
+    return tagged.groupby("bucket").map_groups(assign, batch_format="pyarrow")
 
 
 def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
@@ -918,6 +1020,10 @@ def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
     the driver. Force the distributed path with ``pair_limit=0``."""
     import ray
 
+    # materialize once: both the count and the consumer below read the
+    # pair set, and without this the pair pipeline's terminal stage
+    # would re-execute (pairs ≪ corpus, so the footprint is bounded)
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs > pair_limit:
         labels = distributed_components(pairs_ds)
@@ -973,7 +1079,7 @@ def cluster_best(docs_ds, pairs_ds, id_col: str = "doc_id",
     — a vectorized ``sort_values`` + stable ``groupby.head(1)`` per
     bucket, never a per-cluster task. Output:
     (cluster_id, best_doc_id, best_quality)."""
-    from .relational import _shuffle_parts, hash_join
+    from .relational import hash_join, shuffle_coalesced
     from .textstats import text_stats
 
     labels = dedup_clusters(docs_ds, pairs_ds, id_col=id_col).drop_columns(
@@ -1015,8 +1121,10 @@ def cluster_best(docs_ds, pairs_ds, id_col: str = "doc_id",
         })
 
     return (
-        joined.map_batches(add_cbucket, batch_format="pyarrow")
-        .repartition(_shuffle_parts(COARSE_BUCKETS, rows_hint))
+        shuffle_coalesced(
+            joined.map_batches(add_cbucket, batch_format="pyarrow"),
+            COARSE_BUCKETS, rows_hint,
+        )
         .groupby("cbucket")
         .map_groups(best, batch_format="pandas")
     )

@@ -195,6 +195,33 @@ def _shuffle_parts(num_buckets: int, rows_hint: int | None = None) -> int:
     return max(1, int(min(num_buckets, max(cpus, rows_parts))))
 
 
+# Below this many input rows the repartition barrier costs more than
+# the groupby it feeds saves: .repartition() is itself an all-to-all
+# with ~0.5-1 s fixed cost in Ray 2.49, and a small input has at most
+# a handful of blocks — already within a small factor of the right
+# reducer count. Calibrated by measurement at sf0.1: the barrier paid
+# on the ~165k-row orders⨝customer join (1.4 s → 0.85 s) and on the
+# ~100k-row events joins (~40% faster), but cost the ≤80k-row dedup
+# pair stages 1.5-1.8× when round 3 inserted it unconditionally.
+_COALESCE_MIN_ROWS = 100_000
+
+
+def shuffle_coalesced(ds, num_buckets: int, rows_hint: int | None = None):
+    """Pre-groupby repartition barrier, inserted only when it pays.
+
+    Ray's sort-based ``groupby`` shuffle inherits the *input block
+    count* as its reduce-partition count — wrong at both ends (hundreds
+    of ~10 ms-overhead partitions for a many-blocked input; more
+    reducers than buckets at 100 TB). :func:`_shuffle_parts` right-sizes
+    it, but the barrier itself has fixed all-to-all cost, so it is
+    SKIPPED when ``rows_hint`` says the input is small
+    (< ``_COALESCE_MIN_ROWS``). With no hint the barrier is kept — the
+    scale-safe default for unknown-size inputs."""
+    if rows_hint is not None and rows_hint < _COALESCE_MIN_ROWS:
+        return ds
+    return ds.repartition(_shuffle_parts(num_buckets, rows_hint))
+
+
 _SALT_SAMPLE_ROWS = 65_536
 
 
@@ -206,10 +233,19 @@ def _detect_salt(left, on: str, sample_rows: int = _SALT_SAMPLE_ROWS) -> int:
     biased toward the first blocks — for key-sorted inputs that biases
     toward MORE salting (bounded at 16× build replication), never
     toward missing a hot key that dominates globally but not locally…
-    which the per-bucket merge would still survive via spill."""
+    which the per-bucket merge would still survive via spill.
+
+    NOTE: the probe executes ``left``'s upstream plan (``limit`` cannot
+    early-stop through a shuffle), which is cheap for raw parquet reads
+    but re-runs derived pipelines — callers joining on the output of
+    another pipeline should pass ``salt`` explicitly (every internal
+    call site on a near-unique key passes ``salt=1``)."""
+    import logging
+
     try:
         sample = left.select_columns([on]).limit(sample_rows).to_pandas()[on]
-    except Exception:
+    except (KeyError, ValueError, TypeError, OSError) as exc:
+        logging.warning("hash_join salt probe failed (%s); assuming no skew", exc)
         return 1
     n = len(sample)
     if n < 1024:

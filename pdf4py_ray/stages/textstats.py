@@ -235,7 +235,13 @@ def hash_sample(ds, n: int = 100, seed: int = 42, id_col: str = "doc_id"):
     ``n × num_batches`` candidate rows — O(sample), never a shuffle of
     the corpus. Membership is a pure function of (id, seed): re-runs,
     resumes and the SQL oracle (``ORDER BY md5(...) LIMIT n``) agree
-    exactly."""
+    exactly.
+
+    COST NOTE: the ranking key is one ``hashlib.md5`` per row in a
+    Python comprehension — the price of bit-parity with DuckDB's
+    ``md5()`` (~1 µs/row; ~280 CPU-hours per 10¹² rows, spread across
+    the cluster). A non-SQL-gated sampler should swap in a vectorized
+    integer hash (``functions.hashing.stable_hash64_column``)."""
     from hashlib import md5 as _md5
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +253,8 @@ def hash_sample(ds, n: int = 100, seed: int = 42, id_col: str = "doc_id"):
     return ds.map_batches(prune, batch_format="pandas").sort("sort_key").limit(n)
 
 
-def top_words(ds, k: int = 20, text_col: str = "text", num_buckets: int = 64):
+def top_words(ds, k: int = 20, text_col: str = "text", num_buckets: int = 64,
+              rows_hint: int | None = None):
     """Corpus-wide heavy hitters: top-``k`` words by occurrence count.
 
     Scale shape: the per-batch partial collapses occurrences to one
@@ -285,11 +292,13 @@ def top_words(ds, k: int = 20, text_col: str = "text", num_buckets: int = 64):
         return out.sort_values(["n", "word"], ascending=[False, True],
                                kind="mergesort").head(k)[["word", "n"]]
 
-    from .relational import _shuffle_parts
+    from .relational import shuffle_coalesced
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .repartition(_shuffle_parts(num_buckets))
+        shuffle_coalesced(
+            ds.map_batches(partial, batch_format="pandas"),
+            num_buckets, rows_hint,  # combiner output ≈ vocabulary ≤ corpus rows
+        )
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
         .sort(["n", "word"], descending=[True, False])
@@ -298,7 +307,8 @@ def top_words(ds, k: int = 20, text_col: str = "text", num_buckets: int = 64):
 
 
 def doc_len_quantiles(ds, text_col: str = "text",
-                      ps=(0.25, 0.5, 0.75, 0.9, 0.99)):
+                      ps=(0.25, 0.5, 0.75, 0.9, 0.99),
+                      rows_hint: int | None = None):
     """Exact distributed quantiles of per-document whitespace token
     counts, via histogram combine: per-batch ``(n_tokens → count)``
     partials (one row per distinct length per batch — the combiner),
@@ -330,11 +340,12 @@ def doc_len_quantiles(ds, text_col: str = "text",
         out["cnt"] = out["cnt"].astype("int64")
         return out
 
-    from .relational import _shuffle_parts
+    from .relational import shuffle_coalesced
 
     rows = (
-        ds.map_batches(partial, batch_format="pandas")
-        .repartition(_shuffle_parts(64))
+        shuffle_coalesced(
+            ds.map_batches(partial, batch_format="pandas"), 64, rows_hint,
+        )
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
         .take_all()
@@ -364,8 +375,8 @@ def stratified_sample(ds, group_col: str = "lang_pred", n: int = 20,
     the per-group finish is one vectorized sort + ``head(n)``.
     Membership is a pure function of (id, seed), so re-runs, resumes
     and the SQL oracle (``row_number() OVER (PARTITION BY g ORDER BY
-    md5(...)) <= n``) agree exactly. Returns
-    (group, id, sort_key) rows."""
+    md5(...)) <= n``) agree exactly. Same per-row md5 cost note as
+    :func:`hash_sample`. Returns (group, id, sort_key) rows."""
     from hashlib import md5 as _md5
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
@@ -388,7 +399,8 @@ def stratified_sample(ds, group_col: str = "lang_pred", n: int = 20,
 
 
 def seq_pack(ds, id_col: str = "doc_id", text_col: str = "text",
-             max_len: int = 2048, num_ranges: int = 1024):
+             max_len: int = 2048, num_ranges: int = 1024,
+             rows_hint: int | None = None):
     """Distributed prefix sum over id order + greedy sequence packing.
 
     The training-data op Ray Data has no native operator for: a
@@ -401,9 +413,11 @@ def seq_pack(ds, id_col: str = "doc_id", text_col: str = "text",
     Scale shape — the classic two-phase scan, never a global sort:
 
     1. one pass computes ``(id, n_tokens)`` (16 bytes/doc — this tiny
-       projection is what's materialized, never the text) and
-       range-partitions ids into ``num_ranges`` ordered ranges over
-       [min, max];
+       projection is what's materialized, never the text; the
+       object-store bound is ~16 B × corpus rows ≈ 16 TB per 10¹²
+       docs spread across the cluster store, spillable — stated in
+       BASELINE.md) and range-partitions ids into ``num_ranges``
+       ordered ranges over [min, max];
     2. per-range token sums (one aggregate over ≤``num_ranges`` rows)
        are exclusive-scanned on the driver — O(num_ranges), tiny —
        and broadcast;
@@ -468,11 +482,13 @@ def seq_pack(ds, id_col: str = "doc_id", text_col: str = "text",
             "pack_id": (cum - nt) // max_len,
         })
 
-    from .relational import _shuffle_parts
+    from .relational import shuffle_coalesced
 
     return (
-        counts.map_batches(add_range, batch_format="pandas")
-        .repartition(_shuffle_parts(num_ranges))
+        shuffle_coalesced(
+            counts.map_batches(add_range, batch_format="pandas"),
+            num_ranges, rows_hint,
+        )
         .groupby("range")
         .map_groups(scan_range, batch_format="pandas")
     )
