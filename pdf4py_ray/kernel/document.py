@@ -26,6 +26,8 @@ builds on.
 
 from __future__ import annotations
 
+import logging
+from collections import OrderedDict
 from typing import Iterator, Optional
 
 from .errors import PdfSyntaxError, PdfUnsupportedError
@@ -90,8 +92,11 @@ class PdfDocument:
             self.tok, stream_resolver=self._resolve_stream, content_stream_mode=False
         )
         # explicit object cache — the reference's lru_cache(256)
-        # analogue (``parser.py:415``) with per-document lifetime
-        self._cache: dict = {}
+        # analogue (``parser.py:415``) with per-document lifetime.
+        # Bounded like the reference's: an unbounded dict would let a
+        # pathological PDF with millions of objects balloon an
+        # extractor actor's heap.
+        self._cache: "OrderedDict" = OrderedDict()
         self.xref: Optional[XrefIndex] = None
         self.version = self._read_header()
         self.trailer = self._build_xref()
@@ -221,6 +226,14 @@ class PdfDocument:
         if d.get("Type") != "XRef":
             raise PdfSyntaxError("Stream at xref position is not of /Type /XRef.")
         tr = {k: v for k, v in d.items() if k in TRAILER_FIELDS}
+        if "Extends" in d:
+            # diagnostics parity with the reference's unsupported-
+            # /Extends warning (``parser.py:559-563``): the chain's
+            # extended entries are ignored, never silently
+            logging.warning(
+                "xref stream carries an /Extends chain, which is not "
+                "supported; entries from the extended stream are ignored."
+            )
         raw = obj.value.data()
         size = d["Size"]
         index = d.get("Index", [0, size])
@@ -295,6 +308,7 @@ class PdfDocument:
             return None
         cached = self._cache.get(entry, _MISSING)
         if cached is not _MISSING:
+            self._cache.move_to_end(entry)
             return cached
 
         if isinstance(entry, InUseEntry):
@@ -312,6 +326,8 @@ class PdfDocument:
         else:
             raise ValueError(f"Unsupported reference type: {entry!r}")
         self._cache[entry] = value
+        if len(self._cache) > _OBJECT_CACHE_SIZE:
+            self._cache.popitem(last=False)  # evict least-recently-used
         return value
 
     def _parse_from_object_stream(self, entry: CompressedEntry):
@@ -390,3 +406,7 @@ class PdfDocument:
 
 
 _MISSING = object()
+
+# reference parity: lru_cache(maxsize=256) on parse_reference
+# (``/root/reference/pdf4py/parser.py:415``)
+_OBJECT_CACHE_SIZE = 256

@@ -366,7 +366,23 @@ def hash_join(left, right, on: str, right_on: str,
             mask = lhs[on].isin(rhs[right_on].unique())
             merged = lhs[mask if how == "semi" else ~mask]
         else:
-            merged = lhs.merge(rhs, left_on=on, right_on=right_on, how=how)
+            # defensive oversize-bucket split: salting caps build-side
+            # replication at 16×, so one key holding >16×100k probe
+            # rows still lands a single giant pandas merge whose
+            # intermediate indexers/output burst can exceed a task's
+            # heap. Probe rows are independent, so merging in bounded
+            # chunks is semantically identical for every join mode that
+            # reaches here (inner/left) while capping the per-merge
+            # working set.
+            if len(lhs) > _MERGE_CHUNK_ROWS:
+                merged = pd.concat(
+                    [lhs.iloc[i:i + _MERGE_CHUNK_ROWS].merge(
+                        rhs, left_on=on, right_on=right_on, how=how)
+                     for i in range(0, len(lhs), _MERGE_CHUNK_ROWS)],
+                    ignore_index=True,
+                )
+            else:
+                merged = lhs.merge(rhs, left_on=on, right_on=right_on, how=how)
             if right_nullable:
                 merged = merged.astype(right_nullable)
         # emit a TYPED Arrow table: a raw pandas return would let Ray
@@ -375,6 +391,10 @@ def hash_join(left, right, on: str, right_on: str,
         return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+# per-chunk probe rows for the defensive in-bucket merge split
+_MERGE_CHUNK_ROWS = 1_000_000
 
 
 _HIGH_VALUE_ORDER = 440_000.0  # price filter so every join mode is non-vacuous

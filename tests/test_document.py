@@ -110,3 +110,39 @@ def test_missing_object_keyerror():
     doc = PdfDocument(pdfgen.minimal_pdf())
     with pytest.raises(KeyError):
         doc.xref[(999, 0)]
+
+
+def test_object_cache_is_bounded_lru():
+    """A document with more objects than the cache bound (reference:
+    lru_cache(256), parser.py:415) never holds more than the bound —
+    the guard against a pathological million-object PDF ballooning an
+    extractor actor's heap — and still parses every object correctly."""
+    w = pdfgen.PdfWriter()
+    refs = [w.add({"V": i}) for i in range(400)]
+    root = w.simple_page_tree([pdfgen._content("bounded cache")])
+    doc = PdfDocument(w.tobytes(root))
+    for ref in refs:
+        assert doc.get_object(ref)["V"] == ref.number - 1
+    from pdf4py_ray.kernel.document import _OBJECT_CACHE_SIZE
+
+    assert len(doc._cache) <= _OBJECT_CACHE_SIZE
+    # evicted objects re-parse to the same value
+    assert doc.get_object(refs[0])["V"] == 0
+
+
+def test_xref_stream_extends_warns(caplog):
+    """Diagnostics parity: an /Extends chain in the xref stream dict is
+    unsupported in the reference too (parser.py:559-563 logs a
+    warning); ours must warn rather than silently ignore the key."""
+    import logging
+
+    from pdf4py_ray.kernel.model import Ref
+
+    w = pdfgen.PdfWriter("1.5")
+    root = w.simple_page_tree([pdfgen._content("extends")])
+    data = w.tobytes(root, xref_stream=True,
+                     trailer_extra={"Extends": Ref(1, 0)})
+    with caplog.at_level(logging.WARNING):
+        doc = PdfDocument(data)
+    assert any("Extends" in rec.message for rec in caplog.records)
+    assert len(doc.pages()) == 1  # the rest of the document still parses

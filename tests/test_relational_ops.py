@@ -317,3 +317,44 @@ def test_hash_join_outer_semi_anti_modes(ray_session):
         anti = sorted(hash_join(lds, rds, "k", "rk", ls, rs, num_buckets=8,
                                 salt=salt, how="anti").to_pandas()["lv"])
         assert anti == [10, 30, 50]
+
+
+def test_hash_join_oversize_single_key_bucket(ray_session, monkeypatch):
+    """Spill guard: a 5M-row SINGLE-KEY probe side (the worst skew —
+    salting spreads it over at most 16 sub-buckets, so each merge task
+    still sees ~312k rows of one key) completes with the defensive
+    chunked merge engaged and exact row/value totals. The chunk size is
+    lowered so the test genuinely exercises the multi-chunk path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf4py_ray.stages import relational as R
+
+    monkeypatch.setattr(R, "_MERGE_CHUNK_ROWS", 100_000)
+
+    n = 5_000_000
+    left = rd.range(n).map_batches(
+        lambda b: pa.table({
+            "k": pa.array(np.full(len(b["id"]), 7, dtype=np.int64)),
+            "lv": pa.array(np.asarray(b["id"], dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([6, 7, 8], type=pa.int64()),
+        "rv": pa.array([600, 700, 800], type=pa.int64()),
+    }))
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("rk", pa.int64()), ("rv", pa.int64())])
+
+    # salt=None: the auto-probe must flag the hot key and salt it
+    out = R.hash_join(left, right, "k", "rk", ls, rs,
+                      rows_hint=n, salt=None)
+    from ray.data.aggregate import Count, Sum
+
+    agg = out.aggregate(Count(alias_name="n"), Sum("lv", alias_name="s_lv"),
+                        Sum("rv", alias_name="s_rv"))
+    assert agg["n"] == n                       # every probe row matched once
+    assert agg["s_lv"] == n * (n - 1) // 2     # all distinct probe values kept
+    assert agg["s_rv"] == n * 700              # the single build row replicated
