@@ -61,22 +61,60 @@ def synth_media_table(num_rows: int = 64) -> pa.Table:
 
 
 class DecodeMedia:
-    """Actor stage: binary payload → decoded metadata (+ fake features).
+    """Actor stage: binary payload → decoded metadata (+ features).
 
-    Real decoding is stubbed (no codec libs in this container); the
-    actor/batch/schema shape is the production layout: binary in,
-    fixed-width feature columns out, small batches for large blobs.
+    Two modes, selected once per actor in ``__init__``:
+
+    - ``deterministic=True`` (default): a deterministic fake decode
+      (header sniff + content hash + hash-derived dimensions) so the
+      Ray-side plumbing — schema, batch sizing, actor signature,
+      output layout — is real and testable in containers without
+      codec libraries, and so the driver's value gate is stable
+      whether or not Pillow happens to be installed.
+    - ``deterministic=False``: REAL image decode through Pillow,
+      imported once at actor construction (the actor-pool pattern:
+      codec setup per actor, never per batch). Width/height/format
+      come from the decoded image and the feature vector is its
+      grayscale histogram folded to ``feature_dim`` bins. Without
+      Pillow in the environment this mode raises
+      ``NotImplementedError`` at decode time — the honest marker for
+      the missing codec, never a silent fallback.
     """
 
     def __init__(self, deterministic: bool = True, feature_dim: int = 8) -> None:
         self.deterministic = deterministic
         self.feature_dim = feature_dim
+        self._pil = None
+        if not deterministic:
+            try:  # optional dependency: resolved once per actor
+                from PIL import Image
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
+
+    def _decode_real(self, payload: bytes):
+        """Pillow decode: real dimensions/format + a grayscale-histogram
+        feature vector (sum-normalized, ``feature_dim`` bins)."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        width, height = img.size
+        fmt = (img.format or "unknown").lower()
+        hist = np.asarray(img.convert("L").histogram(), dtype=np.float64)
+        folded = hist.reshape(self.feature_dim, -1).sum(axis=1)
+        total = folded.sum()
+        features = (folded / total if total else folded).astype(np.float32)
+        h = stable_hash64(payload)
+        return fmt, len(payload), int(h >> 1), int(width), int(height), features
 
     def decode_one(self, payload: bytes):
         if not self.deterministic:
-            raise NotImplementedError(
-                "Real media decode requires Pillow/ffmpeg — not in this container."
-            )
+            if self._pil is None:
+                raise NotImplementedError(
+                    "Real media decode requires Pillow — not in this container."
+                )
+            return self._decode_real(payload)
         fmt = sniff_media_format(payload)
         h = stable_hash64(payload)
         rng = np.random.RandomState(h % (2**31))
@@ -132,10 +170,15 @@ class FrameSample:
         )
 
 
-def decode_media(ds, concurrency=(1, 4), batch_size: int = 16):
-    """Media decode pipeline stage (small batches: blobs are wide rows)."""
+def decode_media(ds, concurrency=(1, 4), batch_size: int = 16,
+                 deterministic: bool = True):
+    """Media decode pipeline stage (small batches: blobs are wide rows).
+    ``deterministic=False`` switches the actors to real Pillow decode
+    (see :class:`DecodeMedia`)."""
     return ds.map_batches(
-        DecodeMedia, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        DecodeMedia,
+        fn_constructor_kwargs={"deterministic": deterministic},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
 
 

@@ -62,19 +62,9 @@ def main() -> None:
     pq.write_table(w, os.path.join(OUT, "x_extract_write_sf001.parquet"))
     print("x_extract_write golden:", w.num_rows, "rows")
 
-    # the synthetic media table is a pure function, and the seeded
-    # LSH planes / IVF centroids make the ANN variants deterministic
-    # (verified stable across num_cpus=4 and 16) — all golden-able
-    for name, sort_keys in (
-        ("m_media_decode", [("media_id", "ascending")]),
-        ("m_frame_sample", [("media_id", "ascending"), ("frame_idx", "ascending")]),
-        ("s_knn_lsh", [("query_id", "ascending"), ("neighbor_id", "ascending")]),
-        ("s_knn_ivf", [("query_id", "ascending"), ("neighbor_id", "ascending")]),
-    ):
-        t = pa.concat_tables(q[name](SF).iter_batches(batch_format="pyarrow"))
-        t = t.sort_by(sort_keys)
-        pq.write_table(t, os.path.join(OUT, f"{name}.parquet"))  # sf0.01-derived for s_knn_*
-        print(f"{name} golden:", t.num_rows, "rows")
+    # NOTE: s_knn_lsh / s_knn_ivf / m_media_decode / m_frame_sample no
+    # longer use goldens — their oracles are independent recomputations
+    # (seed-derived SQL literals; spec-rederived media parquet).
 
     ray.shutdown()
 

@@ -176,11 +176,52 @@ def test_textstats_columns(ray_session):
     assert rows[0]["fingerprint"] != rows[2]["fingerprint"]
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed: real decode active")
 def test_media_stub_raises_without_deterministic():
     from pdf4py_ray.stages.multimodal import DecodeMedia
 
     with pytest.raises(NotImplementedError):
         DecodeMedia(deterministic=False).decode_one(b"\xff\xd8\xff...")
+
+
+def _tiny_png(width: int, height: int) -> bytes:
+    """Hand-rolled minimal valid PNG (8-bit grayscale) — the PNG
+    container format is public knowledge; no codec lib needed to WRITE
+    one, only to decode it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(range(x, x + width)) for x in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not in this container")
+def test_media_real_decode_with_pillow():
+    """deterministic=False with Pillow present decodes REAL
+    dimensions/format and histogram features (skips where the codec
+    lib is absent — the stub path is exercised above instead)."""
+    from pdf4py_ray.stages.multimodal import DecodeMedia
+
+    fmt, n_bytes, h, w, ht, feats = DecodeMedia(
+        deterministic=False).decode_one(_tiny_png(13, 7))
+    assert (fmt, w, ht) == ("png", 13, 7)
+    assert n_bytes > 0 and len(feats) == 8
+    assert abs(float(feats.sum()) - 1.0) < 1e-6  # normalized histogram
 
 
 def test_media_sniff():
