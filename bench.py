@@ -134,6 +134,114 @@ def bench_extract() -> tuple:
     return dt, n_turns
 
 
+def _materialize_dedup_corpus(repeat: int) -> str:
+    """Repeat the sf documents table ``repeat``× with shifted doc_ids
+    (one parquet file per repeat → natural read parallelism) — the
+    compute-bound corpus for the dedup-family scaling runs. Repeats
+    keep identical text, so every document sits in a ``repeat``-sized
+    exact-duplicate cluster: a deliberately dup-heavy corpus that
+    pushes the candidate-pair set past both the 500k verify guard and
+    the 5M clustering guard, exercising the keyed-join verify and the
+    distributed min-label propagation — the 100 TB code paths."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    out = f"/tmp/pdf4py_ray_dedup_{sf_tag}_r{repeat}"
+    marker = os.path.join(out, "_DONE.json")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    n = t.num_rows
+    import numpy as np
+
+    ids = t["doc_id"].to_numpy()
+    for r in range(repeat):
+        shifted = pa.table({
+            "doc_id": pa.array(ids + r * n, type=pa.int64()),
+            "text": t["text"],
+        })
+        pq.write_table(shifted, os.path.join(out, f"part-{r:04d}.parquet"))
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": SF_DIR, "repeat": repeat, "docs": n * repeat}, fh)
+    return out
+
+
+def bench_dedup_child(shape: str, corpus_dir: str) -> None:
+    """One timed dedup-family run in THIS process (invoked by
+    --scaling-dedup in a fresh child per measurement)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    _init_ray()
+    import ray
+    import ray.data as rd
+
+    from pdf4py_ray.stages.dedup import dedup_clusters, minhash_dup_pairs
+
+    n_docs = sum(pq.read_metadata(f).num_rows
+                 for f in sorted(glob.glob(corpus_dir + "/*.parquet")))
+    pool = max(4, NUM_CPUS - 2)
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(corpus_dir, columns=["doc_id", "text"])
+    pairs = minhash_dup_pairs(docs, rows_hint=n_docs, concurrency=(2, pool))
+    if shape == "clusters":
+        res = dedup_clusters(docs, pairs)
+    else:
+        res = pairs
+    n_rows = res.count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({"shape": shape, "sec": round(dt, 3), "rows": n_rows,
+                      "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1),
+                      "num_cpus": NUM_CPUS}))
+
+
+def scaling_dedup() -> None:
+    """Dedup-family scaling evidence: minhash near-dup pairs and
+    near-dup clustering at 8 vs 32 CPUs in fresh processes over a
+    compute-bound (repeat=64 → 320k-doc, ~10M-candidate-pair) corpus.
+    Complements --scaling (extraction): this measures the bucketed
+    band shuffle, the keyed-join verify above the 500k guard, and the
+    distributed min-label propagation above the 5M guard."""
+    here = os.path.abspath(__file__)
+    repeat = int(os.environ.get("BENCH_DEDUP_REPEAT", "64"))
+    corpus = _materialize_dedup_corpus(repeat)
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+
+    def run(ncpu: int, shape: str) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DEDUP=shape,
+                   BENCH_DEDUP_DIR=corpus)
+        out = subprocess.run([sys.executable, here], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    shapes = {}
+    for shape in ("pairs", "clusters"):
+        r_lo = min((run(lo, shape) for _ in range(trials)), key=lambda r: r["sec"])
+        r_hi = min((run(hi, shape) for _ in range(trials)), key=lambda r: r["sec"])
+        shapes[f"minhash_{shape}"] = {
+            "sec_lo": r_lo["sec"], "sec_hi": r_hi["sec"],
+            "docs_per_sec_lo": r_lo["docs_per_sec"],
+            "docs_per_sec_hi": r_hi["docs_per_sec"],
+            "pair_rows": r_hi["rows"],
+            "scaling_efficiency": round(
+                (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo), 3),
+        }
+    print(json.dumps({
+        "metric": "dedup-family scaling efficiency (docs/sec at 8 vs 32 cpus)",
+        "cpus_lo": lo, "cpus_hi": hi, "repeat": repeat,
+        "docs": json.load(open(os.path.join(corpus, "_DONE.json")))["docs"],
+        **shapes,
+        "sf": SF_DIR,
+    }))
+
+
 def bench_query(fn) -> float:
     t0 = time.perf_counter()
     res = fn(SF_DIR)
@@ -281,7 +389,12 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("BENCH_DEDUP"):
+        bench_dedup_child(os.environ["BENCH_DEDUP"],
+                          os.environ["BENCH_DEDUP_DIR"])
+    elif "--scaling-dedup" in sys.argv:
+        scaling_dedup()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         main()

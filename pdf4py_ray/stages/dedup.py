@@ -226,51 +226,77 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .materialize()  # pair ids only — tiny relative to the corpus
     )
 
-    def estimate_frame(batch: pd.DataFrame, sig_of) -> pd.DataFrame:
-        if not len(batch):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "est_jaccard": pd.Series(dtype="float64")})
-        sa = np.stack([sig_of(batch, "a", i) for i in range(len(batch))])
-        sb = np.stack([sig_of(batch, "b", i) for i in range(len(batch))])
-        est = (sa == sb).mean(axis=1)
-        out = batch[["id_a", "id_b"]].copy()
-        out["est_jaccard"] = est
-        return out[est >= threshold]
+    def _estimate_table(batch: pa.Table, sa: np.ndarray, sb: np.ndarray) -> pa.Table:
+        """(pairs, per-side signature matrices) → filtered pair table.
+        One vectorized (n, NUM_PERM) comparison — never per-row Python."""
+        est = (sa == sb).mean(axis=1) if len(sa) else np.empty(0)
+        keep = est >= threshold
+        out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column(
+            "est_jaccard", pa.array(est[keep], type=pa.float64()))
+
+    def _sig_matrix(ds_sig, id_name: str, sig_name: str):
+        """Driver-side (sorted ids, (n, NUM_PERM) matrix) from a small
+        signature Dataset — streamed per Arrow batch, flat value-buffer
+        reshape, no per-row Python objects."""
+        ids_parts, mat_parts = [], []
+        for t in ds_sig.iter_batches(batch_format="pyarrow"):
+            if not len(t):
+                continue
+            ids_parts.append(
+                t[id_name].to_numpy(zero_copy_only=False).astype(np.int64))
+            mat_parts.append(
+                t[sig_name].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+                .reshape(len(t), NUM_PERM))
+        if not ids_parts:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, NUM_PERM), dtype=np.int64))
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(mat_parts)
+        order = np.argsort(ids, kind="mergesort")
+        return ids[order], mat[order]
 
     # near-dup candidates are normally ≪ corpus: broadcast the candidate
     # ids, semi-join the sketch table distributed, collect only the
-    # involved signatures, verify in one vectorized stage. Above the
-    # guard, fall back to two keyed bucket-shuffle joins.
+    # involved signatures (as ONE numpy matrix — a plasma-zero-copy
+    # ray.get per batch, not a dict deserialization), verify in one
+    # vectorized stage. Above the guard, fall back to two keyed
+    # bucket-shuffle joins.
     if candidates.count() <= 500_000:
         import ray
 
-        pair_rows = candidates.select_columns(["id_a", "id_b"]).take_all()
-        involved = np.array(
-            sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}),
-            dtype=np.int64,
-        )
+        id_parts = [t_.to_numpy(zero_copy_only=False).astype(np.int64)
+                    for t in candidates.select_columns(["id_a", "id_b"])
+                    .iter_batches(batch_format="pyarrow")
+                    for t_ in (t["id_a"], t["id_b"])]
+        involved = (np.unique(np.concatenate(id_parts)) if id_parts
+                    else np.empty(0, dtype=np.int64))
         ids_ref = ray.put(involved)
 
         def semi_join(batch: pa.Table) -> pa.Table:
             wanted = ray.get(ids_ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            return batch.select([id_col, "signature"]).filter(
-                pa.array(np.isin(ids, wanted))
-            )
+            # wanted is sorted: membership via searchsorted, no isin scan
+            pos = np.searchsorted(wanted, ids)
+            pos_c = np.minimum(pos, max(len(wanted) - 1, 0))
+            mask = (wanted[pos_c] == ids) if len(wanted) else np.zeros(len(ids), bool)
+            return batch.select([id_col, "signature"]).filter(pa.array(mask))
 
-        matched = sketches.map_batches(semi_join, batch_format="pyarrow").take_all()
-        sig_map = {r[id_col]: np.asarray(r["signature"], dtype=np.int64)
-                   for r in matched}
-        sig_ref = ray.put(sig_map)
+        sig_ids, sig_mat = _sig_matrix(
+            sketches.map_batches(semi_join, batch_format="pyarrow"),
+            id_col, "signature")
+        sig_ref = ray.put((sig_ids, sig_mat))
 
-        def verify(batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = ray.get(sig_ref)
-            return estimate_frame(
-                batch, lambda b, side, i: sigs[b[f"id_{side}"].iloc[i]]
-            )
+        def verify(batch: pa.Table) -> pa.Table:
+            sids, smat = ray.get(sig_ref)  # zero-copy numpy views
+            a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sa = smat[np.searchsorted(sids, a)] if len(a) else smat[:0]
+            sb = smat[np.searchsorted(sids, b)] if len(b) else smat[:0]
+            return _estimate_table(batch, sa, sb)
 
-        return candidates.map_batches(verify, batch_format="pandas")
+        return candidates.map_batches(verify, batch_format="pyarrow")
 
     from .relational import hash_join
 
@@ -290,17 +316,20 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     sigs_a, siga_schema = sig_side("a")
     sigs_b, sigb_schema = sig_side("b")
     j1 = hash_join(candidates, sigs_a, "id_a", "sid_a", cand_schema, siga_schema,
-                   num_buckets=COARSE_BUCKETS, salt=1)
+                   num_buckets=COARSE_BUCKETS, salt=1, rows_hint=rows_hint)
     j1_schema = pa.schema(list(cand_schema) + list(siga_schema))
     j2 = hash_join(j1, sigs_b, "id_b", "sid_b", j1_schema, sigb_schema,
-                   num_buckets=COARSE_BUCKETS, salt=1)
+                   num_buckets=COARSE_BUCKETS, salt=1, rows_hint=rows_hint)
 
-    def estimate(batch: pd.DataFrame) -> pd.DataFrame:
-        return estimate_frame(
-            batch, lambda b, side, i: np.asarray(b[f"sig_{side}"].iloc[i], dtype=np.int64)
-        )
+    def estimate(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sa = (batch["sig_a"].combine_chunks().flatten()
+              .to_numpy(zero_copy_only=False).astype(np.int64).reshape(n, NUM_PERM))
+        sb = (batch["sig_b"].combine_chunks().flatten()
+              .to_numpy(zero_copy_only=False).astype(np.int64).reshape(n, NUM_PERM))
+        return _estimate_table(batch, sa, sb)
 
-    return j2.map_batches(estimate, batch_format="pandas")
+    return j2.map_batches(estimate, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -1038,12 +1067,15 @@ def dedup_clusters(docs_ds, pairs_ds, id_col: str = "doc_id",
             parent[x], x = root, parent[x]
         return root
 
-    for row in pairs_ds.select_columns(["id_a", "id_b"]).take_all():
-        ra, rb = find(int(row["id_a"])), find(int(row["id_b"]))
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra  # smaller id wins → cluster_id = component min
+    for t in pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_format="pyarrow"):  # arrow→numpy batches, no row dicts
+        for ia, ib in zip(t["id_a"].to_numpy(zero_copy_only=False),
+                          t["id_b"].to_numpy(zero_copy_only=False)):
+            ra, rb = find(int(ia)), find(int(ib))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # smaller id wins → cluster_id = component min
     labels = {x: find(x) for x in list(parent)}
     ref = ray.put(labels)
 
