@@ -86,7 +86,11 @@ class PdfDocument:
     """Random-access PDF object graph over one in-memory byte buffer."""
 
     def __init__(self, data, password=None) -> None:
-        self.buf = bytes(data)
+        import mmap as _mmap
+
+        # mmap buffers parse in place (lazily paged); anything else is
+        # snapshotted to bytes
+        self.buf = data if isinstance(data, _mmap.mmap) else bytes(data)
         self.tok = Tokenizer(self.buf)
         self.parser = ObjectParser(
             self.tok, stream_resolver=self._resolve_stream, content_stream_mode=False
@@ -107,6 +111,29 @@ class PdfDocument:
                 enc = self.get_object(enc)
             self.security = StandardSecurityHandler(password, enc, self.trailer.get("ID"))
             self.parser.decrypt_hook = self.security.decrypt_string
+
+    @classmethod
+    def from_file(cls, path: str, password=None) -> "PdfDocument":
+        """Parse a PDF from disk WITHOUT loading it into memory.
+
+        The buffer is an ``mmap`` (read-only), so a multi-GB file is
+        paged in lazily by the OS as the xref walk / object parses
+        touch it — the engine's counterpart of the reference Lexer's
+        streaming ``io.BufferedReader`` binding
+        (``/root/reference/pdf4py/_lexer.py:69-106``), with O(1)
+        random access preserved. The file handle stays open for the
+        document's lifetime."""
+        import mmap as _mmap
+
+        fh = open(path, "rb")
+        try:
+            buf = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+        except Exception:
+            fh.close()
+            raise
+        doc = cls(buf, password=password)
+        doc._file = fh  # keep the fd alive for the mmap's lifetime
+        return doc
 
     # ------------------------------------------------------------ structure
 

@@ -101,12 +101,19 @@ class Tokenizer:
     __slots__ = ("buf", "n", "pos", "pending", "_stack", "context_size")
 
     def __init__(self, data, context_size: int = 200) -> None:
+        import mmap as _mmap
+
         if isinstance(data, memoryview):
             data = bytes(data)
-        if not isinstance(data, (bytes, bytearray)):
+        if not isinstance(data, (bytes, bytearray, _mmap.mmap)):
             raise ValueError("Tokenizer source must be bytes-like.")
         self.context_size = context_size  # reference Lexer default (``_lexer.py:69``)
-        self.buf: bytes = bytes(data)
+        # an mmap buffer is used AS-IS: regex scanning, int indexing and
+        # rfind all work against the map, slices come back as bytes, and
+        # the OS pages data in lazily — the engine's analogue of the
+        # reference Lexer's never-load-the-whole-file BufferedReader
+        # binding (``_lexer.py:69-106``) with O(1) random access kept
+        self.buf = data if isinstance(data, _mmap.mmap) else bytes(data)
         self.n = len(self.buf)
         self.pos = 0
         # tokens pushed back by the parser; consumed before the buffer
@@ -225,12 +232,12 @@ class Tokenizer:
         if c == 0x28:  # (
             return self._scan_literal_string()
         if c == 0x3C:  # <
-            if buf.startswith(b"<<", self.pos):
+            if buf[self.pos:self.pos + 2] == b"<<":
                 self.pos += 2
                 return DICT_OPEN
             return self._scan_hex_string()
         if c == 0x3E:  # >
-            if buf.startswith(b">>", self.pos):
+            if buf[self.pos:self.pos + 2] == b">>":
                 self.pos += 2
                 return DICT_CLOSE
             self.error("Unexpected '>'")
@@ -246,7 +253,7 @@ class Tokenizer:
         fixed = _FIXED_BY_BYTE.get(c)
         if fixed:
             for word, action in fixed:
-                if buf.startswith(word, self.pos):
+                if buf[self.pos:self.pos + len(word)] == word:  # slice compare: mmap-safe
                     self.pos += len(word)
                     if action == "kw":
                         return Keyword(word)

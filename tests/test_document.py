@@ -146,3 +146,28 @@ def test_xref_stream_extends_warns(caplog):
         doc = PdfDocument(data)
     assert any("Extends" in rec.message for rec in caplog.records)
     assert len(doc.pages()) == 1  # the rest of the document still parses
+
+
+def test_from_file_mmap_parses_without_loading(tmp_path):
+    """PdfDocument.from_file binds an mmap (lazily paged — the
+    streaming-source counterpart of the reference's BufferedReader
+    lexer binding) and produces output identical to the in-memory
+    parse, across classic-xref, xref-stream and encrypted documents."""
+    import mmap
+
+    for i, data in enumerate((
+        pdfgen.minimal_pdf(("mapped page",)),
+        pdfgen.minimal_pdf(("mapped xs",), xref_stream=True),
+        pdfgen.object_stream_pdf(),
+        pdfgen.encrypted_pdf(cfm="AESV2"),
+    )):
+        p = tmp_path / f"doc{i}.pdf"
+        p.write_bytes(data)
+        mem = PdfDocument(data)
+        mapped = PdfDocument.from_file(str(p))
+        assert isinstance(mapped.buf, mmap.mmap)  # no bytes() snapshot
+        assert mapped.version == mem.version
+        pages_a, pages_b = mem.pages(), mapped.pages()
+        assert len(pages_a) == len(pages_b)
+        for a, b in zip(pages_a, pages_b):
+            assert mem.page_content(a) == mapped.page_content(b)
