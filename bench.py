@@ -138,18 +138,23 @@ def _materialize_dedup_corpus(repeat: int) -> str:
     """Repeat the sf documents table ``repeat``× with shifted doc_ids
     (one parquet file per repeat → natural read parallelism) — the
     compute-bound corpus for the dedup-family scaling runs. Repeats
-    keep identical text, so every document sits in a ``repeat``-sized
-    exact-duplicate cluster: a deliberately dup-heavy corpus that
-    pushes the candidate-pair set past both the 500k verify guard and
-    the 5M clustering guard, exercising the keyed-join verify and the
-    distributed min-label propagation — the 100 TB code paths."""
+    group repeats into duplicate CLIQUES of 4: copies inside a clique
+    share text; different cliques get every word salted, so LSH cannot
+    pair across cliques. That is a realistic web-dup profile (bounded
+    duplicate clusters) — all-identical repeats would put every doc in
+    a ``repeat``-sized clique whose LSH pair stream is quadratic in
+    the clique size (measured: 176M intermediate pair rows at
+    repeat=64, saturating the single-node object store and measuring
+    store bandwidth instead of scaling). The clusters shape forces the
+    distributed min-label propagation (``pair_limit=0``) — the 100 TB
+    path."""
     import json
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     sf_tag = os.path.basename(SF_DIR.rstrip("/"))
-    out = f"/tmp/pdf4py_ray_dedup_{sf_tag}_r{repeat}"
+    out = f"/tmp/pdf4py_ray_dedup_{sf_tag}_r{repeat}_c4"
     marker = os.path.join(out, "_DONE.json")
     if os.path.exists(marker):
         return out
@@ -159,14 +164,23 @@ def _materialize_dedup_corpus(repeat: int) -> str:
     import numpy as np
 
     ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    clique = 4
+    salted_col = t["text"]
     for r in range(repeat):
+        if r % clique == 0 and r > 0:
+            salt = r // clique
+            salted_col = pa.array(
+                [" ".join(f"v{salt}{w}" for w in (tx or "").split())
+                 for tx in texts], type=pa.string())
         shifted = pa.table({
             "doc_id": pa.array(ids + r * n, type=pa.int64()),
-            "text": t["text"],
+            "text": salted_col,
         })
         pq.write_table(shifted, os.path.join(out, f"part-{r:04d}.parquet"))
     with open(marker, "w") as fh:
-        json.dump({"sf_dir": SF_DIR, "repeat": repeat, "docs": n * repeat}, fh)
+        json.dump({"sf_dir": SF_DIR, "repeat": repeat, "docs": n * repeat,
+                   "clique": clique}, fh)
     return out
 
 
@@ -181,19 +195,39 @@ def bench_dedup_child(shape: str, corpus_dir: str) -> None:
     import ray
     import ray.data as rd
 
+    from pdf4py_ray.config import apply_engine_defaults
     from pdf4py_ray.stages.dedup import dedup_clusters, minhash_dup_pairs
+
+    apply_engine_defaults()  # raw read_parquet below bypasses read_table
 
     n_docs = sum(pq.read_metadata(f).num_rows
                  for f in sorted(glob.glob(corpus_dir + "/*.parquet")))
     pool = max(4, NUM_CPUS - 2)
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus_dir, columns=["doc_id", "text"])
-    pairs = minhash_dup_pairs(docs, rows_hint=n_docs, concurrency=(2, pool))
-    if shape == "clusters":
-        res = dedup_clusters(docs, pairs)
+    if shape == "sketch":
+        # the CPU-bound phase alone (one streaming pass, full-width
+        # fixed pool): isolates compute scaling from the single-node
+        # exchange floor the full shapes carry
+        from pdf4py_ray.stages.dedup import MinHashSignatures
+
+        res = docs.map_batches(
+            MinHashSignatures,
+            fn_constructor_kwargs={"text_col": "text", "id_col": "doc_id"},
+            batch_format="pyarrow", concurrency=pool, batch_size=1024)
+        n_rows = res.count()
     else:
-        res = pairs
-    n_rows = res.count()
+        # fixed-size pool: the autoscaling (2, pool) ramp halves stage
+        # throughput at this size (measured 30 s → 15 s at 32 CPUs)
+        pairs = minhash_dup_pairs(docs, rows_hint=n_docs, concurrency=pool,
+                                  batch_size=1024)
+        if shape == "clusters":
+            # pair_limit=0 forces the distributed min-label propagation
+            # — the 100 TB path — regardless of measured pair count
+            res = dedup_clusters(docs, pairs, pair_limit=0)
+        else:
+            res = pairs
+        n_rows = res.count()
     dt = time.perf_counter() - t0
     ray.shutdown()
     print(json.dumps({"shape": shape, "sec": round(dt, 3), "rows": n_rows,
@@ -209,6 +243,9 @@ def scaling_dedup() -> None:
     band shuffle, the keyed-join verify above the 500k guard, and the
     distributed min-label propagation above the 5M guard."""
     here = os.path.abspath(__file__)
+    # repeat=64 → 320k docs in 4-copy duplicate cliques (~480k true
+    # pairs): sketching compute dominates at both CPU levels, and the
+    # clusters shape forces the distributed-components path
     repeat = int(os.environ.get("BENCH_DEDUP_REPEAT", "64"))
     corpus = _materialize_dedup_corpus(repeat)
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
@@ -222,7 +259,8 @@ def scaling_dedup() -> None:
 
     lo, hi = 8, 32
     shapes = {}
-    for shape in ("pairs", "clusters"):
+    which = os.environ.get("BENCH_DEDUP_SHAPES", "sketch,pairs,clusters").split(",")
+    for shape in which:
         r_lo = min((run(lo, shape) for _ in range(trials)), key=lambda r: r["sec"])
         r_hi = min((run(hi, shape) for _ in range(trials)), key=lambda r: r["sec"])
         shapes[f"minhash_{shape}"] = {

@@ -73,6 +73,10 @@ NUM_PERM = 64
 NUM_BANDS = 16
 SHINGLE_WORDS = 3
 COARSE_BUCKETS = 64  # coarse co-location groups for bucket-pair stages
+# broadcast the signature matrix (8·NUM_PERM B/doc ≈ 1 GB at the
+# limit — one object in the store, zero-copy per reader) instead of
+# keyed-joining it to pairs while the corpus fits
+_SIG_BROADCAST_DOCS = 2_000_000
 
 
 def _add_pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -138,7 +142,7 @@ class MinHashSignatures:
 
 def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, concurrency=(2, 8),
-                      rows_hint: int | None = None):
+                      rows_hint: int | None = None, batch_size: int = 256):
     """Near-duplicate pairs via MinHash-LSH.
 
     Shuffle-volume design: the 64-int64 signature is NOT duplicated
@@ -146,17 +150,16 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     hashes) is materialized once in the object store; the band
     exploding stage ships only (doc_id, band, band_hash) triples
     (~20× lighter than band rows carrying signatures); candidate
-    pairs are deduplicated while still signature-free; then each pair
-    picks up its two signatures through two keyed bucket-shuffle
-    joins against the sketch table (2× sketch shuffle instead of 16×)
-    and the Jaccard estimate is one vectorized comparison per pair.
-    When the candidate set is small (the normal dedup regime —
-    near-dups ≪ corpus), verification instead broadcasts the candidate
-    ids, semi-joins the sketch table distributed and verifies against
-    only the involved signatures — one distributed filter, no shuffle.
+    pairs are deduplicated while still signature-free; and the Jaccard
+    estimate is one vectorized comparison per pair. Signatures attach
+    to pairs by BROADCASTING the signature matrix once while the
+    corpus fits ``_SIG_BROADCAST_DOCS`` (pairs stream through a single
+    map — no extra shuffle), else through two keyed bucket-shuffle
+    joins against the sketch table (2× sketch shuffle instead of 16×).
     ``rows_hint`` (the known corpus row count, e.g. parquet metadata)
-    sizes the two pre-groupby exchanges — see
-    :func:`~.relational.shuffle_coalesced`.
+    sizes the pre-groupby exchanges (see
+    :func:`~.relational.shuffle_coalesced`) and picks the attach path
+    without an extra count.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
     sketches = ds.map_batches(
@@ -164,38 +167,43 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         concurrency=concurrency,
-        batch_size=256,
+        batch_size=batch_size,
     ).materialize()  # sketch table: ~650 B/doc, consumed by two branches
 
     def explode_bands(batch: pa.Table) -> pa.Table:
+        # (band, band_hash) packed into ONE int64 key: band_hash is a
+        # 63-bit blake2b digest, so mixing the band index in keeps the
+        # per-(band, bucket) equality semantics up to a ~2^-63 hash
+        # collision — and a colliding FALSE candidate is harmless, the
+        # signature verify filters it. One int64 key instead of
+        # (int32 band + int64 hash) cuts the band exchange ~30% and
+        # turns the fine groupby into a single-key self-merge.
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
         # fixed NUM_BANDS entries per row by construction → the list
         # column's flat value buffer is already in (doc, band) order
         flat = (batch["band_hashes"].combine_chunks().flatten()
-                .to_numpy(zero_copy_only=False).astype(np.int64))
+                .to_numpy(zero_copy_only=False).astype(np.uint64))
+        band = np.tile(np.arange(NUM_BANDS, dtype=np.uint64), n)
+        with np.errstate(over="ignore"):
+            key = flat ^ (band * np.uint64(0x9E3779B97F4A7C15))
         return pa.table({
             id_col: pa.array(np.repeat(ids, NUM_BANDS), type=pa.int64()),
-            "band": pa.array(np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
-                             type=pa.int32()),
-            "band_hash": pa.array(flat, type=pa.int64()),
+            "band_key": pa.array(key.astype(np.int64), type=pa.int64()),
         })
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        # millions of (band, band_hash) buckets would mean per-group
-        # task overhead; coarse-bucket them and group the fine keys
+        # millions of band_key buckets would mean per-group task
+        # overhead; coarse-bucket them and group the fine keys
         # with pandas inside each coarse group
-        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = bh ^ (band * np.uint64(0x9E3779B97F4A7C15))
-        bucket = (mixed % np.uint64(COARSE_BUCKETS)).astype(np.int64)
+        key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (key % np.uint64(COARSE_BUCKETS)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
     def bucket_pairs(coarse: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-coarse-group: self-merge each fine LSH bucket
-        df = coarse[["band", "band_hash", id_col]].drop_duplicates()
-        m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        df = coarse[["band_key", id_col]].drop_duplicates()
+        m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         out.columns = ["id_a", "id_b"]
@@ -223,7 +231,6 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         shuffle_coalesced(raw_pairs, COARSE_BUCKETS, rows_hint)
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
-        .materialize()  # pair ids only — tiny relative to the corpus
     )
 
     def _estimate_table(batch: pa.Table, sa: np.ndarray, sb: np.ndarray) -> pa.Table:
@@ -236,11 +243,14 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             "est_jaccard", pa.array(est[keep], type=pa.float64()))
 
     def _sig_matrix(ds_sig, id_name: str, sig_name: str):
-        """Driver-side (sorted ids, (n, NUM_PERM) matrix) from a small
-        signature Dataset — streamed per Arrow batch, flat value-buffer
-        reshape, no per-row Python objects."""
+        """Driver-side (sorted ids, row-permutation, (n, NUM_PERM)
+        matrix) from a signature Dataset — streamed whole blocks, flat
+        value-buffer reshape, no per-row Python objects. The matrix is
+        deliberately NOT reordered (a fancy-index gather of the full
+        matrix costs seconds of serial driver time at 10⁶ docs);
+        lookups go ``perm[searchsorted(ids_sorted, key)]`` instead."""
         ids_parts, mat_parts = [], []
-        for t in ds_sig.iter_batches(batch_format="pyarrow"):
+        for t in ds_sig.iter_batches(batch_format="pyarrow", batch_size=None):
             if not len(t):
                 continue
             ids_parts.append(
@@ -250,50 +260,38 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 .to_numpy(zero_copy_only=False).astype(np.int64)
                 .reshape(len(t), NUM_PERM))
         if not ids_parts:
-            return (np.empty(0, dtype=np.int64),
-                    np.empty((0, NUM_PERM), dtype=np.int64))
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty((0, NUM_PERM), dtype=np.int64)
         ids = np.concatenate(ids_parts)
         mat = np.vstack(mat_parts)
-        order = np.argsort(ids, kind="mergesort")
-        return ids[order], mat[order]
+        perm = np.argsort(ids, kind="mergesort")
+        return ids[perm], perm, mat
 
-    # near-dup candidates are normally ≪ corpus: broadcast the candidate
-    # ids, semi-join the sketch table distributed, collect only the
-    # involved signatures (as ONE numpy matrix — a plasma-zero-copy
-    # ray.get per batch, not a dict deserialization), verify in one
-    # vectorized stage. Above the guard, fall back to two keyed
-    # bucket-shuffle joins.
-    if candidates.count() <= 500_000:
+    # Verification. The sketch table is the small side: when it is
+    # bounded (≤ _SIG_BROADCAST_DOCS ≈ 1 GB of matrix at the limit),
+    # the (sorted ids, n×NUM_PERM matrix) pair is broadcast ONCE via
+    # ray.put — ray.get per batch is a plasma zero-copy view — and
+    # every pair batch gathers its two signature rows by searchsorted.
+    # Pairs then stream straight from the LSH stage through one map:
+    # no pair collection, no extra shuffle (measured: the keyed-join
+    # variant ships |pairs| × 1 KB of signatures through the object
+    # store — 10+ GB at a 320k-doc dup-heavy corpus — and was
+    # store-bandwidth-bound). Beyond the limit (the 10^12-doc regime,
+    # where no node can hold the matrix), pairs pick up signatures
+    # through two keyed bucket-shuffle joins against the sketch table.
+    n_docs = rows_hint if rows_hint is not None else sketches.count()
+    if n_docs <= _SIG_BROADCAST_DOCS:
         import ray
 
-        id_parts = [t_.to_numpy(zero_copy_only=False).astype(np.int64)
-                    for t in candidates.select_columns(["id_a", "id_b"])
-                    .iter_batches(batch_format="pyarrow")
-                    for t_ in (t["id_a"], t["id_b"])]
-        involved = (np.unique(np.concatenate(id_parts)) if id_parts
-                    else np.empty(0, dtype=np.int64))
-        ids_ref = ray.put(involved)
-
-        def semi_join(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(ids_ref)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            # wanted is sorted: membership via searchsorted, no isin scan
-            pos = np.searchsorted(wanted, ids)
-            pos_c = np.minimum(pos, max(len(wanted) - 1, 0))
-            mask = (wanted[pos_c] == ids) if len(wanted) else np.zeros(len(ids), bool)
-            return batch.select([id_col, "signature"]).filter(pa.array(mask))
-
-        sig_ids, sig_mat = _sig_matrix(
-            sketches.map_batches(semi_join, batch_format="pyarrow"),
-            id_col, "signature")
-        sig_ref = ray.put((sig_ids, sig_mat))
+        sig_ids, sig_perm, sig_mat = _sig_matrix(sketches, id_col, "signature")
+        sig_ref = ray.put((sig_ids, sig_perm, sig_mat))
 
         def verify(batch: pa.Table) -> pa.Table:
-            sids, smat = ray.get(sig_ref)  # zero-copy numpy views
+            sids, perm, smat = ray.get(sig_ref)  # zero-copy numpy views
             a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            sa = smat[np.searchsorted(sids, a)] if len(a) else smat[:0]
-            sb = smat[np.searchsorted(sids, b)] if len(b) else smat[:0]
+            sa = smat[perm[np.searchsorted(sids, a)]] if len(a) else smat[:0]
+            sb = smat[perm[np.searchsorted(sids, b)]] if len(b) else smat[:0]
             return _estimate_table(batch, sa, sb)
 
         return candidates.map_batches(verify, batch_format="pyarrow")
@@ -304,6 +302,15 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                              ("pair_bucket", pa.int64())])
 
+    # Every union input is materialized first: candidates and both sig
+    # sides all derive from the SAME `sketches` dataset, and a single
+    # streaming execution whose unions consume one upstream dataset
+    # through multiple branches can deadlock Ray 2.49's executor under
+    # a small CPU budget (observed: all operators idle, 0 tasks, the
+    # joined verify stalled at 8 CPUs). Distinct materialized sources
+    # union safely; the footprint is pairs + 2× sketch projections.
+    candidates = candidates.materialize()
+
     def sig_side(suffix: str):
         def rename(batch: pa.Table) -> pa.Table:
             return pa.table({
@@ -311,7 +318,8 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 f"sig_{suffix}": batch["signature"],
             })
         schema = pa.schema([(f"sid_{suffix}", pa.int64()), (f"sig_{suffix}", sig_type)])
-        return sketches.map_batches(rename, batch_format="pyarrow"), schema
+        return (sketches.map_batches(rename, batch_format="pyarrow")
+                .materialize(), schema)
 
     sigs_a, siga_schema = sig_side("a")
     sigs_b, sigb_schema = sig_side("b")

@@ -421,3 +421,23 @@ def test_distributed_components_moderate_graph(ray_session):
     got = {r["node"]: r["label"]
            for r in distributed_components(pairs).take_all()}
     assert got == want
+
+
+def test_minhash_joined_verify_matches_broadcast(near_dup_docs, monkeypatch):
+    """Forcing the above-limit keyed-join verify (as a 10^12-doc corpus
+    would use) produces exactly the broadcast path's pairs — and the
+    union inputs are materialized, so the joined plan cannot hit the
+    executor's same-upstream union stall under a small CPU budget."""
+    import pandas as pd
+
+    from pdf4py_ray.stages import dedup as D
+
+    base = (D.minhash_dup_pairs(near_dup_docs).to_pandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    monkeypatch.setattr(D, "_SIG_BROADCAST_DOCS", 0)
+    joined = (D.minhash_dup_pairs(near_dup_docs).to_pandas()
+              .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        base[["id_a", "id_b", "est_jaccard"]],
+        joined[["id_a", "id_b", "est_jaccard"]],
+    )

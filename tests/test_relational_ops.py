@@ -358,3 +358,17 @@ def test_hash_join_oversize_single_key_bucket(ray_session, monkeypatch):
     assert agg["n"] == n                       # every probe row matched once
     assert agg["s_lv"] == n * (n - 1) // 2     # all distinct probe values kept
     assert agg["s_rv"] == n * 700              # the single build row replicated
+
+
+def test_shuffle_coalesced_skips_small_inputs(ray_session):
+    """The pre-groupby barrier is inserted only above the calibrated
+    row threshold; below it the input plan is returned untouched, and
+    an unknown size keeps the barrier (the scale-safe default)."""
+    import ray.data as rd
+
+    from pdf4py_ray.stages.relational import _COALESCE_MIN_ROWS, shuffle_coalesced
+
+    ds = rd.range(10)
+    assert shuffle_coalesced(ds, 64, _COALESCE_MIN_ROWS - 1) is ds  # skip
+    assert shuffle_coalesced(ds, 64, _COALESCE_MIN_ROWS) is not ds  # barrier
+    assert shuffle_coalesced(ds, 64, None) is not ds  # unknown → scale-safe
