@@ -131,7 +131,15 @@ class PdfDocument:
         except Exception:
             fh.close()
             raise
-        doc = cls(buf, password=password)
+        try:
+            doc = cls(buf, password=password)
+        except BaseException:
+            # a parse failure (PdfSyntaxError on a corrupt file is
+            # common) must not leak the fd/mmap until GC — an
+            # fd-exhaustion risk in long-lived corpus-scan workers
+            buf.close()
+            fh.close()
+            raise
         doc._file = fh  # keep the fd alive for the mmap's lifetime
         return doc
 

@@ -226,8 +226,13 @@ def minhash_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_batches(_add_pair_bucket, batch_format="pandas")
     )
     candidates = (
-        # candidate pairs ≪ corpus in the LSH regime; corpus rows is a
-        # serviceable upper-bound hint for the pair exchange
+        # Pair-exchange size hint: ``rows_hint`` (corpus rows) is the
+        # LSH-regime ESTIMATE, not an upper bound — raw candidates grow
+        # with Σ clique² and a dup-heavy corpus can exceed corpus rows
+        # by orders of magnitude (measured: 176M pairs from 320k docs
+        # of 4-copy cliques at repeat=320 band collisions). The hint
+        # only gates/sizes the barrier, so an undersized value costs
+        # exchange efficiency, never correctness.
         shuffle_coalesced(raw_pairs, COARSE_BUCKETS, rows_hint)
         .groupby("pair_bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
@@ -359,9 +364,7 @@ class SimHash64:
         hashes = np.fromiter((md5_lower64(w) for w in words), dtype=np.uint64)
         bits = ((hashes[:, None] >> self.bit_cols[None, :]) & np.uint64(1)).astype(np.int64)
         acc = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for k in np.nonzero(acc > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(k)
+        fp = (np.uint64(1) << self.bit_cols[acc > 0]).sum(dtype=np.uint64)
         return int(fp >> np.uint64(1))  # keep int64-positive
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -383,16 +386,20 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     ).select_columns([id_col, "simhash"])
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        fp = batch["simhash"].to_pylist()
-        rows = {"block": [], "block_val": [], id_col: [], "simhash": []}
-        for i, f in zip(ids, fp):
-            for blk in range(4):
-                rows["block"].append(blk)
-                rows["block_val"].append((f >> (16 * blk)) & 0xFFFF)
-                rows[id_col].append(i)
-                rows["simhash"].append(f)
-        return pa.table(rows)
+        # flat-buffer numpy replication (the explode_bands pattern) —
+        # no per-row Python
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        blk = np.tile(np.arange(4, dtype=np.uint64), n)
+        fp_rep = np.repeat(fp, 4)
+        bval = (fp_rep >> (blk * np.uint64(16))) & np.uint64(0xFFFF)
+        return pa.table({
+            "block": pa.array(blk.astype(np.int64), type=pa.int64()),
+            "block_val": pa.array(bval.astype(np.int64), type=pa.int64()),
+            id_col: pa.array(np.repeat(ids, 4), type=pa.int64()),
+            "simhash": pa.array(fp_rep.astype(np.int64), type=pa.int64()),
+        })
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         bv = batch["block_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -402,22 +409,32 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         bucket = (mixed % np.uint64(COARSE_BUCKETS)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
+    from ..functions.hashing import popcount64
+
     def bucket_pairs(coarse: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, dist = [], [], []
+        out_a, out_b, out_d = [], [], []
         for _, group in coarse.groupby(["block", "block_val"], sort=False):
             if len(group) < 2:
                 continue
             group = group.sort_values(id_col).drop_duplicates(id_col)
-            ids = group[id_col].to_numpy()
+            ids = group[id_col].to_numpy(dtype=np.int64)
             fps_arr = group["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
-                x = fps_arr[i + 1 :] ^ fps_arr[i]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                for j in np.nonzero(ham <= max_hamming)[0]:
-                    rows_a.append(int(ids[i]))
-                    rows_b.append(int(ids[i + 1 + j]))
-                    dist.append(int(ham[j]))
-        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "hamming": dist})
+            for i in range(len(ids) - 1):
+                # vectorized XOR + SWAR popcount over the tail — no
+                # per-candidate bin(int(v)).count('1')
+                ham = popcount64(fps_arr[i + 1 :] ^ fps_arr[i])
+                sel = np.nonzero(ham <= max_hamming)[0]
+                if len(sel):
+                    out_a.append(np.full(len(sel), ids[i], dtype=np.int64))
+                    out_b.append(ids[i + 1 + sel])
+                    out_d.append(ham[sel])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
 
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -514,6 +531,18 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # vectorized inverted-index pair counting: a self-merge on gram
         # (C-speed) instead of a Python loop over gram groups
         df = coarse[["gram", id_col, "n_grams"]].drop_duplicates(["gram", id_col])
+        if max_gram_df is None and len(df):
+            # guard disabled: still DIAGNOSE a would-be-quadratic gram
+            # (df k emits k² pair rows) so a silent blowup has a log line
+            top_df = int(df.groupby("gram", sort=False)["gram"].size().max())
+            if top_df > 10_000:
+                print(
+                    f"[ngram_jaccard_pairs] WARNING: hottest gram has "
+                    f"df={top_df} (≈{top_df * top_df:,} pair rows) and "
+                    f"max_gram_df is None — the exact all-pairs emit is "
+                    f"quadratic in that df; set max_gram_df to cap it",
+                    flush=True,
+                )
         if max_gram_df is not None and len(df):
             gram_df = df.groupby("gram", sort=False)["gram"].transform("size")
             hot = gram_df > max_gram_df
@@ -672,14 +701,33 @@ def ngram_jaccard_verify(ds, pairs_ds, text_col: str = "text", id_col: str = "do
         .map_batches(semi_join, batch_format="pyarrow")
         .take_all()
     )  # bounded: ≤ 2×|pairs| rows survive the semi-join
-    texts = {row[id_col]: row[text_col] or "" for row in matched}
-    ref = ray.put(texts)
+    matched.sort(key=lambda row: row[id_col])
+    # broadcast (sorted int64 ids, texts) as separate refs: the id
+    # array ray.gets zero-copy per batch; the text tuple (strings —
+    # not zero-copy-able) goes through the per-worker cached_get memo
+    # so it unpickles once per worker, never per batch
+    from ..functions.broadcast import cached_get
+
+    tid_ref = ray.put(np.array([row[id_col] for row in matched], dtype=np.int64))
+    txt_ref = ray.put(tuple(row[text_col] or "" for row in matched))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
+        tids = ray.get(tid_ref)  # zero-copy numpy view
+        texts = cached_get(txt_ref)
+
+        def _text(key_arr):
+            idx = np.searchsorted(tids, key_arr)
+            idx_c = np.minimum(idx, max(len(tids) - 1, 0))
+            # an id absent from the corpus scores as '' (matches the
+            # joined path's NULL→'' semantics)
+            return [texts[j] if len(tids) and tids[j] == key else ""
+                    for j, key in zip(idx_c, key_arr)]
+
+        a_txt = _text(batch["id_a"].to_numpy(dtype=np.int64))
+        b_txt = _text(batch["id_b"].to_numpy(dtype=np.int64))
         jac = []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            ga, gb = char_grams(lookup.get(a, ""), n), char_grams(lookup.get(b, ""), n)
+        for ta, tb in zip(a_txt, b_txt):
+            ga, gb = char_grams(ta, n), char_grams(tb, n)
             union = len(ga | gb)
             jac.append(len(ga & gb) / union if union else 0.0)
         out = batch[["id_a", "id_b"]].copy()  # same projection as the joined path
@@ -710,27 +758,27 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     B = int(num_blocks)
 
     def explode_groups(batch: pa.Table) -> pa.Table:
+        # Arrow-native ×B replication: one Table.take over repeated row
+        # indices copies the list<float> column inside Arrow (no
+        # per-row Python, no to_pylist of the vectors)
+        n = batch.num_rows
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = batch[vec_col].to_pylist()
         with np.errstate(over="ignore"):
             blocks = (
                 ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                 % np.uint64(B)
             ).astype(np.int64)
-        out_g, out_id, out_blk, out_vec = [], [], [], []
-        for i in range(len(ids)):
-            b = int(blocks[i])
-            for j in range(B):
-                gi, gj = (b, j) if b <= j else (j, b)
-                out_g.append(gi * B + gj)
-                out_id.append(int(ids[i]))
-                out_blk.append(b)
-                out_vec.append(vecs[i])
+        rep = batch.select([id_col, vec_col]).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), B)))
+        b_rep = np.repeat(blocks, B)
+        j = np.tile(np.arange(B, dtype=np.int64), n)
+        gi = np.minimum(b_rep, j)
+        gj = np.maximum(b_rep, j)
         return pa.table({
-            "pair_group": pa.array(out_g, type=pa.int64()),
-            id_col: pa.array(out_id, type=pa.int64()),
-            "block": pa.array(out_blk, type=pa.int64()),
-            vec_col: pa.array(out_vec),
+            "pair_group": pa.array(gi * B + gj, type=pa.int64()),
+            id_col: rep[id_col],
+            "block": pa.array(b_rep, type=pa.int64()),
+            vec_col: rep[vec_col],
         })
 
     def _norm(mat: np.ndarray) -> np.ndarray:
@@ -904,6 +952,11 @@ def distributed_components(pairs_ds, num_buckets: int = COARSE_BUCKETS,
 
     def min_label(group: pa.Table) -> pa.Table:
         node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(node):
+            # defensive, like propose/jump: reduceat on an empty group
+            # would raise IndexError (starts=[0] via np.r_[True, ...])
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
         label = group["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(node, kind="mergesort")
         ns, ls = node[order], label[order]

@@ -116,13 +116,17 @@ def join_auto(large, small, on: str, right_on: str,
     upstream pipeline once just to pick a bucket count."""
     import ray
 
+    from ..functions.broadcast import cached_get
+
     small_rows = small.count()
     if small_rows <= broadcast_limit:
         small_df = small.to_pandas()
         ref = ray.put(small_df)
 
         def bj(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(ray.get(ref), left_on=on, right_on=right_on)
+            # cached_get: the DataFrame (object columns unpickle!) is
+            # deserialized once per WORKER, not once per batch
+            return batch.merge(cached_get(ref), left_on=on, right_on=right_on)
 
         return large.map_batches(bj, batch_format="pandas", batch_size=65536)
     return hash_join(large, small, on, right_on, large_schema, small_schema,
@@ -473,8 +477,6 @@ def orders_per_nation(sf_dir: str):
     :func:`hash_join`, then per-batch partial aggregation → groupby."""
     from ray.data.aggregate import Sum
 
-    import pyarrow.parquet as pq
-
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     o_schema = _projected_schema(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -539,17 +541,30 @@ def customers_per_region(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
     region_ds = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
 
     if nation_ds.count() <= broadcast_limit and region_ds.count() <= broadcast_limit:
-        # compose the two tiny dims into one lookup, broadcast once
+        # compose the two tiny dims into one lookup, broadcast once as a
+        # (sorted int64 keys, int64 codes) numpy pair — ``ray.get`` is a
+        # plasma zero-copy view per batch (a dict broadcast would
+        # re-unpickle every batch); the handful of DISTINCT region
+        # names rides in the closure as a factor table
         dim = nation_ds.to_pandas().merge(
             region_ds.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
-        )[["n_nationkey", "r_name"]]
-        ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+        )[["n_nationkey", "r_name"]].sort_values("n_nationkey")
+        names_arr, codes = np.unique(
+            dim["r_name"].to_numpy(dtype=object), return_inverse=True
+        )
+        names = [str(x) for x in names_arr]
+        ref = ray.put((dim["n_nationkey"].to_numpy(dtype=np.int64),
+                       codes.astype(np.int64)))
 
         def tag(batch: pd.DataFrame) -> pd.DataFrame:
-            batch["r_name"] = batch["c_nationkey"].map(ray.get(ref))
-            return batch.groupby("r_name", as_index=False).agg(
-                n_customers=("r_name", "size")
-            )
+            keys, code_arr = ray.get(ref)  # zero-copy numpy views
+            nk = batch["c_nationkey"].to_numpy(dtype=np.int64)
+            # every c_nationkey exists in nation (FK); the clip is defensive
+            idx = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+            cnt = np.bincount(code_arr[idx], minlength=len(names))
+            nz = np.nonzero(cnt)[0]
+            return pd.DataFrame({"r_name": [names[i] for i in nz],
+                                 "n_customers": cnt[nz].astype("int64")})
 
         tagged = cust.map_batches(tag, batch_format="pandas", batch_size=65536)
     else:
@@ -578,14 +593,29 @@ def customers_per_region(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
 # ------------------------------------------------------------------ scan shapes
 
 
+def _topk_prune(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch top-k combiner for :func:`top_orders`: any row outside
+    a batch's own (price desc, orderkey asc) top-k cannot be in the
+    global top-k, so the terminal sort's input is O(k × batches)
+    instead of the whole orders table — at 10¹² rows the difference
+    between a corpus-wide all-to-all and a trivial reduce."""
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[("price_cents", "descending"), ("o_orderkey", "ascending")],
+    )
+    return batch.take(idx[:k])
+
+
 def top_orders(sf_dir: str, k: int = 10):
-    """Global top-k by price (sort + limit), deterministic tie-break."""
+    """Global top-k by price: per-batch top-k prune (combiner) → tiny
+    sort + limit, deterministic tie-break."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def add_cents(batch: pa.Table) -> pa.Table:
-        return batch.append_column("price_cents", _cents(batch["o_totalprice"])).drop_columns(
+        t = batch.append_column("price_cents", _cents(batch["o_totalprice"])).drop_columns(
             ["o_totalprice"]
         )
+        return _topk_prune(t, k)
 
     return (
         ds.map_batches(add_cents, batch_format="pyarrow")
@@ -689,27 +719,53 @@ def local_supplier_revenue(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIM
     if (cust.count() <= broadcast_limit and supp.count() <= broadcast_limit
             and nation.count() <= broadcast_limit):
         # all three dims fit: ONE fused stage does lookup + co-nation
-        # filter + per-batch partial aggregation (no extra map stages)
-        c_map = {r["c_custkey"]: r["c_nationkey"] for r in cust.take_all()}
-        s_map = {r["s_suppkey"]: r["s_nationkey"] for r in supp.take_all()}
-        n_map = {r["n_nationkey"]: r["n_name"] for r in nation.take_all()}
-        ref = ray.put((c_map, s_map, n_map))
+        # filter + per-batch partial aggregation (no extra map stages).
+        # The lookups are broadcast as SORTED int64 numpy (key, value)
+        # arrays — ``ray.get`` per batch is a plasma zero-copy view
+        # and the gather is ``searchsorted`` (a dict broadcast would
+        # re-unpickle up to 3×2M entries on EVERY batch). Nation NAMES
+        # (strings — not zero-copy-able) go through the per-worker
+        # ``cached_get`` memo: one unpickle per worker.
+        from ..functions.broadcast import cached_get
+
+        def _sorted_pair(ds_, key, val):
+            df = ds_.to_pandas().sort_values(key)
+            return (df[key].to_numpy(dtype=np.int64),
+                    df[val].to_numpy(dtype=np.int64))
+
+        ck, cn = _sorted_pair(cust, "c_custkey", "c_nationkey")
+        sk, sn = _sorted_pair(supp, "s_suppkey", "s_nationkey")
+        nat_df = nation.to_pandas().sort_values("n_nationkey")
+        nk = nat_df["n_nationkey"].to_numpy(dtype=np.int64)
+        ref = ray.put((ck, cn, sk, sn, nk))
+        names_ref = ray.put(list(map(str, nat_df["n_name"])))
 
         def fused(batch: pd.DataFrame) -> pd.DataFrame:
-            cm, sm, nm = ray.get(ref)
-            c_nat = batch["o_custkey"].map(cm)
-            s_nat = batch["l_suppkey"].map(sm)
-            hit = batch[c_nat == s_nat].copy()
-            if not len(hit):
+            ck_, cn_, sk_, sn_, nk_ = ray.get(ref)  # zero-copy views
+            names = cached_get(names_ref)
+            c_nat = cn_[np.minimum(
+                np.searchsorted(ck_, batch["o_custkey"].to_numpy(dtype=np.int64)),
+                len(ck_) - 1)]
+            s_nat = sn_[np.minimum(
+                np.searchsorted(sk_, batch["l_suppkey"].to_numpy(dtype=np.int64)),
+                len(sk_) - 1)]
+            hit = c_nat == s_nat
+            if not hit.any():
                 return pd.DataFrame({"n_name": pd.Series(dtype="object"),
                                      "revenue_cents": pd.Series(dtype="int64")})
-            hit["n_name"] = s_nat[c_nat == s_nat].map(nm)
-            hit["revenue_cents"] = np.floor(
-                hit["l_extendedprice"] * (1.0 - hit["l_discount"]) * 100.0 + 0.5
-            ).astype("int64")
-            return hit.groupby("n_name", as_index=False).agg(
-                revenue_cents=("revenue_cents", "sum")
-            )
+            rev = np.floor(
+                batch["l_extendedprice"].to_numpy()[hit]
+                * (1.0 - batch["l_discount"].to_numpy()[hit]) * 100.0 + 0.5
+            ).astype(np.int64)
+            code = np.minimum(np.searchsorted(nk_, s_nat[hit]), len(nk_) - 1)
+            # per-batch sums stay < 2^53 (≤65536 rows × ~1e7 cents), so
+            # the float64 bincount accumulator is exact
+            total = np.bincount(code, weights=rev, minlength=len(nk_))
+            nz = np.nonzero(total)[0]
+            return pd.DataFrame({
+                "n_name": [names[i] for i in nz],
+                "revenue_cents": total[nz].astype("int64"),
+            })
 
         pre = joined.map_batches(fused, batch_format="pandas", batch_size=65536)
         return (
