@@ -387,6 +387,17 @@ def _knn_lsh(sf_dir: str):
     return ds.select_columns(["query_id", "neighbor_id"])
 
 
+def _knn_join(sf_dir: str):
+    """Corpus-×-corpus ANN join — top-5 neighbours for EVERY vector
+    via the IVF cell-keyed shuffle (no bounded query set)."""
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.similarity import knn_join
+
+    ds = knn_join(read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                  k=5, n_clusters=16, nprobe=4)
+    return ds.select_columns(["query_id", "neighbor_id"])
+
+
 def _media_decode(sf_dir: str):
     import ray.data as rd
 
@@ -463,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_knn_brute": _knn_brute,
         "s_knn_lsh": _knn_lsh,
         "s_knn_ivf": _knn_ivf,
+        "s_knn_join": _knn_join,
         # multimodal plumbing (stubbed decode)
         "m_media_decode": _media_decode,
         "m_frame_sample": _frame_sample,
@@ -678,6 +690,49 @@ def _ann_ivf_sql() -> str:
     """
 
 
+def _ann_join_sql() -> str:
+    """Full SQL recomputation of the corpus-×-corpus ANN join — the
+    :func:`_ann_ivf_sql` machinery with the bounded-query filter
+    removed: EVERY vector probes its 4 best cells and ranks the probed
+    cells' members by cosine (same independent centroid re-derivation,
+    same first-max cell assignment, same (cosine DESC, id ASC)
+    tie-break as the engine's global reduce)."""
+    cents = _ivf_oracle_centroids()
+    dots = ",\n                 ".join(
+        f"list_dot_product(v, {_sql_vec(c)})" for c in cents
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), d AS (
+          SELECT vec_id, v, [{dots}] AS dots FROM e
+        ), cells AS (
+          SELECT vec_id, v,
+                 list_position(dots, list_max(dots)) - 1 AS cell
+          FROM d
+        ), probes AS (
+          SELECT vec_id AS query_id, i AS cell_idx FROM (
+            SELECT d.vec_id, g.i,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dots[g.i + 1] DESC, g.i
+                   ) AS rnk
+            FROM d CROSS JOIN (SELECT unnest(range(0, {len(cents)})) AS i) g
+          ) pr WHERE rnk <= 4
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id
+                 ) AS rnk
+          FROM probes p
+          JOIN cells n ON n.cell = p.cell_idx AND n.vec_id <> p.query_id
+          JOIN e q ON q.vec_id = p.query_id
+        ) ranked WHERE rnk <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
     # connected components over the MinHash pair graph: recursive CTE
@@ -791,6 +846,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # force is additionally pinned in tests
         "s_knn_lsh": _ann_lsh_sql(),
         "s_knn_ivf": _ann_ivf_sql(),
+        "s_knn_join": _ann_join_sql(),
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

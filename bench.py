@@ -200,6 +200,12 @@ def bench_dedup_child(shape: str, corpus_dir: str) -> None:
 
     apply_engine_defaults()  # raw read_parquet below bypasses read_table
 
+    if os.environ.get("BENCH_DEDUP_FORCE_JOIN"):
+        # exercise the >2M-doc keyed-join verify fallback at bench size
+        from pdf4py_ray.stages import dedup as _dedup
+
+        _dedup._SIG_BROADCAST_DOCS = 0
+
     n_docs = sum(pq.read_metadata(f).num_rows
                  for f in sorted(glob.glob(corpus_dir + "/*.parquet")))
     pool = max(4, NUM_CPUS - 2)
@@ -240,8 +246,12 @@ def scaling_dedup() -> None:
     near-dup clustering at 8 vs 32 CPUs in fresh processes over a
     compute-bound (repeat=64 → 320k-doc, ~10M-candidate-pair) corpus.
     Complements --scaling (extraction): this measures the bucketed
-    band shuffle, the keyed-join verify above the 500k guard, and the
-    distributed min-label propagation above the 5M guard."""
+    band shuffle, the broadcast signature-matrix verify (the verify
+    guard is doc-count-based — ``_SIG_BROADCAST_DOCS`` = 2M — so this
+    corpus takes the broadcast path; set BENCH_DEDUP_FORCE_JOIN=1 to
+    drop the guard to 0 and exercise the keyed-join verify fallback
+    instead), and the distributed min-label propagation above the 5M
+    guard."""
     here = os.path.abspath(__file__)
     # repeat=64 → 320k docs in 4-copy duplicate cliques (~480k true
     # pairs): sketching compute dominates at both CPU levels, and the

@@ -4,13 +4,15 @@ Media payloads are opaque Arrow ``binary`` cells with typed metadata —
 same pattern as the PDF cells: the blob is the intra-row unit of work,
 decode/feature stages are actor pools over small pyarrow batches.
 
-The image/audio codec libraries are not available in this container,
-so the *decode* step is STUBBED: ``deterministic=True`` (default)
-produces a deterministic fake decode (header sniff + content hash +
-fake dimensions) so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is real and tested;
-``deterministic=False`` raises ``NotImplementedError`` marking where a
-real codec (Pillow / ffmpeg) plugs in.
+Decode modes: ``deterministic=True`` (default) produces a
+deterministic fake decode (header sniff + content hash + fake
+dimensions) so the Ray-side plumbing — schema, batch sizing, actor
+signature, output layout — is testable and value-gated identically in
+every container; ``deterministic=False`` is the REAL decode — Pillow
+when installed, else the built-in pure-python PNG codec
+(:func:`decode_png`: stdlib zlib inflate + spec-correct unfiltering);
+other formats without Pillow raise ``NotImplementedError`` marking
+where a real codec (Pillow / ffmpeg) plugs in.
 """
 
 from __future__ import annotations
@@ -35,6 +37,102 @@ def sniff_media_format(payload: bytes) -> str:
         if payload.startswith(magic):
             return name
     return "unknown"
+
+
+def decode_png(payload: bytes):
+    """REAL pure-python/numpy PNG decode — stdlib ``zlib`` inflate +
+    spec-correct scanline unfiltering (W3C PNG §9, public spec).
+
+    Supports the common web shapes: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Palette /
+    16-bit / interlaced raise ``NotImplementedError``. Returns
+    ``(width, height, channels, pixels)`` with ``pixels`` a
+    ``(height, width, channels)`` uint8 array.
+
+    NOTE: the kernel's ``undo_png_predictor`` deliberately keeps the
+    PDF reference's raw-left Sub quirk (``filters.py``, mirroring
+    ``/root/reference/pdf4py/_decoders.py:63``) for byte parity with
+    the reference, so this decoder carries its own spec-correct
+    unfilter: Sub adds the *reconstructed* left byte (vectorized as a
+    per-channel cumsum mod 256), Average/Paeth walk the row."""
+    import struct
+    import zlib
+
+    from ..kernel.filters import _paeth
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace or ctype not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"PNG shape not supported by the built-in decoder: "
+            f"depth={depth} color_type={ctype} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    bpp = channels  # bytes per pixel at depth 8
+    rowlen = width * bpp
+    stride = rowlen + 1
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != stride * height:
+        raise ValueError("PNG scanline payload size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    ftypes = arr[:, 0]
+    body = arr[:, 1:].astype(np.int64)
+    out = np.zeros((height, rowlen), dtype=np.int64)
+    prev = np.zeros(rowlen, dtype=np.int64)
+    for r in range(height):
+        cur, ft = body[r], int(ftypes[r])
+        if ft == 0:  # None
+            dec = cur
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256
+            dec = np.cumsum(cur.reshape(width, bpp), axis=0) % 256
+            dec = dec.reshape(rowlen)
+        elif ft == 2:  # Up
+            dec = (cur + prev) % 256
+        elif ft == 3:  # Average
+            dec = cur.copy()
+            for i in range(rowlen):
+                left = dec[i - bpp] if i >= bpp else 0
+                dec[i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth
+            dec = cur.copy()
+            for i in range(rowlen):
+                a = int(dec[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                dec[i] = (cur[i] + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            raise ValueError(f"invalid PNG row filter {ft}")
+        out[r] = dec
+        prev = out[r]
+    return width, height, channels, out.astype(np.uint8).reshape(
+        height, width, channels)
+
+
+def _png_luminance(pixels: np.ndarray) -> np.ndarray:
+    """ITU-R 601-2 luma, Pillow's exact integer ``convert('L')``
+    arithmetic (``(R·19595 + G·38470 + B·7471 + 0x8000) >> 16``) so
+    the built-in path and the Pillow path produce the same histogram
+    on the same image. Gray inputs pass through; alpha is ignored."""
+    c = pixels.shape[2]
+    if c in (1, 2):  # gray / gray+alpha
+        return pixels[:, :, 0]
+    p = pixels.astype(np.uint32)
+    return ((p[:, :, 0] * 19595 + p[:, :, 1] * 38470 + p[:, :, 2] * 7471
+             + 0x8000) >> 16).astype(np.uint8)
 
 
 def synth_media_table(num_rows: int = 64) -> pa.Table:
@@ -71,14 +169,17 @@ class DecodeMedia:
       output layout — is real and testable in containers without
       codec libraries, and so the driver's value gate is stable
       whether or not Pillow happens to be installed.
-    - ``deterministic=False``: REAL image decode through Pillow,
-      imported once at actor construction (the actor-pool pattern:
-      codec setup per actor, never per batch). Width/height/format
-      come from the decoded image and the feature vector is its
-      grayscale histogram folded to ``feature_dim`` bins. Without
-      Pillow in the environment this mode raises
+    - ``deterministic=False``: REAL image decode — Pillow when
+      available, imported once at actor construction (the actor-pool
+      pattern: codec setup per actor, never per batch), else the
+      built-in pure-python :func:`decode_png` for PNG payloads (real
+      pixels from a real inflate+unfilter, same luminance-histogram
+      features via Pillow's exact ``convert('L')`` integer
+      arithmetic). Width/height/format come from the decoded image
+      and the feature vector is its grayscale histogram folded to
+      ``feature_dim`` bins. A non-PNG payload without Pillow raises
       ``NotImplementedError`` at decode time — the honest marker for
-      the missing codec, never a silent fallback.
+      the missing codec, never a silent fake.
     """
 
     def __init__(self, deterministic: bool = True, feature_dim: int = 8) -> None:
@@ -93,27 +194,38 @@ class DecodeMedia:
             except ImportError:
                 self._pil = None
 
-    def _decode_real(self, payload: bytes):
-        """Pillow decode: real dimensions/format + a grayscale-histogram
-        feature vector (sum-normalized, ``feature_dim`` bins)."""
-        import io
-
-        img = self._pil.open(io.BytesIO(payload))
-        width, height = img.size
-        fmt = (img.format or "unknown").lower()
-        hist = np.asarray(img.convert("L").histogram(), dtype=np.float64)
+    def _features_from_hist(self, hist: np.ndarray) -> np.ndarray:
         folded = hist.reshape(self.feature_dim, -1).sum(axis=1)
         total = folded.sum()
-        features = (folded / total if total else folded).astype(np.float32)
+        return (folded / total if total else folded).astype(np.float32)
+
+    def _decode_real(self, payload: bytes):
+        """Real decode: dimensions/format + a grayscale-histogram
+        feature vector (sum-normalized, ``feature_dim`` bins). Pillow
+        when present; the built-in :func:`decode_png` otherwise."""
         h = stable_hash64(payload)
-        return fmt, len(payload), int(h >> 1), int(width), int(height), features
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload))
+            width, height = img.size
+            fmt = (img.format or "unknown").lower()
+            hist = np.asarray(img.convert("L").histogram(), dtype=np.float64)
+            features = self._features_from_hist(hist)
+            return fmt, len(payload), int(h >> 1), int(width), int(height), features
+        if sniff_media_format(payload) == "png":
+            width, height, _c, pixels = decode_png(payload)
+            lum = _png_luminance(pixels)
+            hist = np.bincount(lum.ravel(), minlength=256).astype(np.float64)
+            features = self._features_from_hist(hist)
+            return "png", len(payload), int(h >> 1), int(width), int(height), features
+        raise NotImplementedError(
+            "Real media decode for this format requires Pillow — not in "
+            "this container (the built-in codec covers PNG only)."
+        )
 
     def decode_one(self, payload: bytes):
         if not self.deterministic:
-            if self._pil is None:
-                raise NotImplementedError(
-                    "Real media decode requires Pillow — not in this container."
-                )
             return self._decode_real(payload)
         fmt = sniff_media_format(payload)
         h = stable_hash64(payload)

@@ -136,6 +136,40 @@ def test_knn_ivf_recall_vs_brute(clustered_vectors):
     assert recall >= 0.8, recall
 
 
+def test_knn_join_matches_bounded_ivf(clustered_vectors):
+    """The corpus-×-corpus knn_join restricted to the first 4 query
+    ids equals the bounded-query knn_ivf with the same centroids and
+    probe rule — the distributed cell-keyed shuffle computes the same
+    answer as the broadcast-query path."""
+    from pdf4py_ray.stages.similarity import knn_ivf, knn_join
+
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in knn_ivf(clustered_vectors, k=5, num_queries=4,
+                            n_clusters=8, nprobe=3).take_all()}
+    join = {(r["query_id"], r["neighbor_id"])
+            for r in knn_join(clustered_vectors, k=5, n_clusters=8,
+                              nprobe=3).take_all()
+            if r["query_id"] < 4}
+    assert join == ivf
+
+
+def test_knn_join_every_vector_is_a_query(clustered_vectors):
+    """knn_join answers EVERY vector: 200 queries × exactly k rows,
+    no self-matches, and each cluster member's neighbours come from
+    its own cluster (the data's cluster gap dominates)."""
+    from pdf4py_ray.stages.similarity import knn_join
+
+    rows = knn_join(clustered_vectors, k=5, n_clusters=8, nprobe=3).take_all()
+    by_query = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(by_query) == 200
+    assert all(len(v) == 5 for v in by_query.values())
+    hits = sum(n % 4 == q % 4 for q, ns in by_query.items() for n in ns)
+    assert hits / (200 * 5) >= 0.95
+
+
 def test_embedding_dup_pairs(ray_session):
     import ray.data as rd
 
@@ -210,11 +244,14 @@ def _tiny_png(width: int, height: int) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-@pytest.mark.skipif(not _pil_available(), reason="Pillow not in this container")
-def test_media_real_decode_with_pillow():
-    """deterministic=False with Pillow present decodes REAL
-    dimensions/format and histogram features (skips where the codec
-    lib is absent — the stub path is exercised above instead)."""
+def test_media_real_decode_png():
+    """deterministic=False decodes REAL dimensions/format and
+    histogram features for PNG in EVERY container: Pillow when
+    installed, the built-in pure-python decoder otherwise — the two
+    paths share the exact integer luminance arithmetic, so the
+    expected feature vector below holds for both."""
+    import numpy as np
+
     from pdf4py_ray.stages.multimodal import DecodeMedia
 
     fmt, n_bytes, h, w, ht, feats = DecodeMedia(
@@ -222,6 +259,85 @@ def test_media_real_decode_with_pillow():
     assert (fmt, w, ht) == ("png", 13, 7)
     assert n_bytes > 0 and len(feats) == 8
     assert abs(float(feats.sum()) - 1.0) < 1e-6  # normalized histogram
+    # exact expectation from the known gray pixels (row x: x..x+12):
+    # histogram over values 0..18, folded into 8 bins of 32 values →
+    # every pixel lands in bin 0
+    expected = np.zeros(8, dtype=np.float32)
+    expected[0] = 1.0
+    assert np.allclose(feats, expected)
+
+
+def _filtered_png_rgb(width: int, height: int) -> tuple[bytes, "np.ndarray"]:
+    """RGB PNG exercising ALL five row filters (None/Sub/Up/Average/
+    Paeth), with the expected pixel array returned alongside. The
+    encoder applies each filter per the public W3C spec §9."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(height, width, 3)).astype(np.int64)
+    bpp = 3
+    rowlen = width * bpp
+    flat = px.reshape(height, rowlen)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    raw = bytearray()
+    prev = np.zeros(rowlen, dtype=np.int64)
+    for r in range(height):
+        ft = r % 5
+        cur = flat[r]
+        enc = np.zeros(rowlen, dtype=np.int64)
+        for i in range(rowlen):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                enc[i] = cur[i]
+            elif ft == 1:
+                enc[i] = cur[i] - a
+            elif ft == 2:
+                enc[i] = cur[i] - b
+            elif ft == 3:
+                enc[i] = cur[i] - (a + b) // 2
+            else:
+                enc[i] = cur[i] - paeth(int(a), int(b), int(c))
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    return payload, px.astype(np.uint8)
+
+
+def test_decode_png_all_filters_roundtrip():
+    """The built-in PNG decoder reconstructs exact pixels through all
+    five spec row filters (the kernel's PDF-quirk predictor would get
+    Sub rows wrong — this decoder is spec-correct by design)."""
+    import numpy as np
+
+    from pdf4py_ray.stages.multimodal import decode_png
+
+    payload, expected = _filtered_png_rgb(9, 10)
+    w, h, c, pixels = decode_png(payload)
+    assert (w, h, c) == (9, 10, 3)
+    assert np.array_equal(pixels, expected)
 
 
 def test_media_sniff():

@@ -372,3 +372,57 @@ def test_shuffle_coalesced_skips_small_inputs(ray_session):
     assert shuffle_coalesced(ds, 64, _COALESCE_MIN_ROWS - 1) is ds  # skip
     assert shuffle_coalesced(ds, 64, _COALESCE_MIN_ROWS) is not ds  # barrier
     assert shuffle_coalesced(ds, 64, None) is not ds  # unknown → scale-safe
+
+
+def test_topk_prune_bounds_sort_input(ray_session):
+    """top_orders' per-batch combiner: the terminal sort sees at most
+    k rows per input block (O(k × batches), never the whole table),
+    and pruning changes nothing about the global top-k."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf4py_ray.stages.relational import _topk_prune
+
+    rng = np.random.RandomState(3)
+    table = pa.table({
+        "o_orderkey": pa.array(np.arange(1000, dtype=np.int64)),
+        "price_cents": pa.array(
+            rng.randint(0, 5000, size=1000).astype(np.int64)),
+    })
+    k, nblocks = 10, 8
+    ds = rd.from_arrow(table).repartition(nblocks)
+    pruned = ds.map_batches(lambda b: _topk_prune(b, k),
+                            batch_format="pyarrow").materialize()
+    assert pruned.count() <= k * nblocks  # the sort input is tiny
+    got = (pruned.sort([("price_cents"), ("o_orderkey")],
+                       descending=[True, False]).limit(k).to_pandas())
+    exp = (table.to_pandas()
+           .sort_values(["price_cents", "o_orderkey"],
+                        ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["o_orderkey", "price_cents"]].reset_index(drop=True),
+        exp[["o_orderkey", "price_cents"]])
+
+
+def test_top_orders_end_to_end(ray_session):
+    """top_orders (with the combiner) equals the unpruned full sort on
+    a real table."""
+    from pdf4py_ray.sources.transcripts import read_table
+    from pdf4py_ray.stages.relational import _cents, top_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = top_orders(sf, k=10).to_pandas()
+
+    ds = read_table(sf, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "price_cents", _cents(batch["o_totalprice"])
+        ).drop_columns(["o_totalprice"])
+
+    exp = (ds.map_batches(add_cents, batch_format="pyarrow")
+           .sort([("price_cents"), ("o_orderkey")], descending=[True, False])
+           .limit(10).to_pandas())
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
