@@ -241,6 +241,39 @@ def bench_dedup_child(shape: str, corpus_dir: str) -> None:
                       "num_cpus": NUM_CPUS}))
 
 
+
+def _md5_control(nproc: int, loops: int = 1_500_000) -> float:
+    """Aggregate md5/sec of ``nproc`` SIMULTANEOUS bare-Python
+    processes — a zero-framework probe of how much CPU the host is
+    actually granting right now (this sandbox's vCPUs burst: the
+    8→32-proc throughput ratio swings 3.0-4.0× minute to minute, so
+    any 8-vs-32 Ray measurement is meaningless without this gate)."""
+    # start barrier: spawning 32 interpreters takes ~1-2 s, so without
+    # a common start time the workers barely overlap and the "ratio"
+    # measures spawn skew, not CPU grant
+    start_at = time.time() + max(2.0, 0.08 * nproc)
+    code = ("import hashlib,time\n"
+            f"while time.time() < {start_at}: time.sleep(0.005)\n"
+            "t=time.perf_counter()\n"
+            "b=b'x'*64\n"
+            f"for _ in range({loops}): hashlib.md5(b)\n"
+            "print(time.perf_counter()-t)")
+    procs = [subprocess.Popen([sys.executable, "-c", code],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(nproc)]
+    times = [float(p.communicate()[0].strip()) for p in procs]
+    return nproc * loops / max(times)
+
+
+def host_capacity(lo: int = 8, hi: int = 32) -> dict:
+    """8-vs-32-proc control ratio (ideal = hi/lo = 4.0). A window is
+    measurement-grade when ratio ≥ ~3.6 (≥0.9 of ideal)."""
+    thr_lo = _md5_control(lo)
+    thr_hi = _md5_control(hi)
+    return {"thr_lo": round(thr_lo, 0), "thr_hi": round(thr_hi, 0),
+            "ratio": round(thr_hi / thr_lo, 3), "ideal": float(hi) / lo}
+
+
 def scaling_dedup() -> None:
     """Dedup-family scaling evidence: minhash near-dup pairs and
     near-dup clustering at 8 vs 32 CPUs in fresh processes over a
@@ -268,22 +301,77 @@ def scaling_dedup() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # host-capacity gating: only accept a measurement bracketed by two
+    # good control windows (ratio ≥ gate of the ideal 4.0); the round-4
+    # full-pipeline numbers (0.39/0.31) came from a throttled window the
+    # control later showed was granting a 3.0-3.3× ceiling
+    gate = float(os.environ.get("BENCH_CONTROL_GATE", "3.6"))
+    max_attempts = int(os.environ.get("BENCH_CONTROL_ATTEMPTS", "6"))
+    retry_sleep = int(os.environ.get("BENCH_CONTROL_SLEEP", "60"))
+
+    def gated_pair(shape: str):
+        last = None
+        for attempt in range(max_attempts):
+            cap_pre = host_capacity(lo, hi)
+            print(json.dumps({"shape": shape, "attempt": attempt,
+                              "control_pre": cap_pre}), file=sys.stderr, flush=True)
+            if cap_pre["ratio"] < gate:
+                time.sleep(retry_sleep)
+                continue
+            r_lo = min((run(lo, shape) for _ in range(trials)), key=lambda r: r["sec"])
+            r_hi = min((run(hi, shape) for _ in range(trials)), key=lambda r: r["sec"])
+            cap_post = host_capacity(lo, hi)
+            print(json.dumps({"shape": shape, "attempt": attempt,
+                              "control_post": cap_post}), file=sys.stderr, flush=True)
+            last = (r_lo, r_hi, cap_pre, cap_post, cap_post["ratio"] >= gate)
+            if cap_post["ratio"] >= gate:
+                return last
+        if last is None:  # never saw a good pre-window: measure anyway,
+            # bracketed by its own controls (accepted if BOTH pass —
+            # the host can swing into a good window mid-fallback)
+            cap_pre = host_capacity(lo, hi)
+            r_lo = min((run(lo, shape) for _ in range(trials)), key=lambda r: r["sec"])
+            r_hi = min((run(hi, shape) for _ in range(trials)), key=lambda r: r["sec"])
+            cap_post = host_capacity(lo, hi)
+            print(json.dumps({"shape": shape, "fallback_controls":
+                              [cap_pre, cap_post]}), file=sys.stderr, flush=True)
+            last = (r_lo, r_hi, cap_pre, cap_post,
+                    cap_pre["ratio"] >= gate and cap_post["ratio"] >= gate)
+        return last
+
     shapes = {}
     which = os.environ.get("BENCH_DEDUP_SHAPES", "sketch,pairs,clusters").split(",")
     for shape in which:
-        r_lo = min((run(lo, shape) for _ in range(trials)), key=lambda r: r["sec"])
-        r_hi = min((run(hi, shape) for _ in range(trials)), key=lambda r: r["sec"])
+        r_lo, r_hi, cap_pre, cap_post, gated_ok = gated_pair(shape)
+        eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+        # capacity normalization: the controls bound what the host was
+        # granting; dividing by (control_ratio / ideal) removes the
+        # host ceiling from the reported ratio (printed BESIDE the raw
+        # number, never instead of it)
+        ceiling = min(cap_pre["ratio"], cap_post["ratio"]) / (hi / lo)
+        # T = fixed + work/cpus decomposition from the two levels:
+        # "work" is the CPU-scalable component; "fixed" lumps startup,
+        # barriers and the exchange stages bound by this proxy's ONE
+        # shared plasma store + driver (which a real N→4N NODE cluster
+        # scales with its N stores/NICs, but one node cannot)
+        work = (r_lo["sec"] - r_hi["sec"]) / (1.0 / lo - 1.0 / hi)
+        fixed = r_lo["sec"] - work / lo
         shapes[f"minhash_{shape}"] = {
             "sec_lo": r_lo["sec"], "sec_hi": r_hi["sec"],
+            "fixed_sec": round(fixed, 1),
+            "cpu_scalable_work_cpusec": round(work, 1),
             "docs_per_sec_lo": r_lo["docs_per_sec"],
             "docs_per_sec_hi": r_hi["docs_per_sec"],
             "pair_rows": r_hi["rows"],
-            "scaling_efficiency": round(
-                (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo), 3),
+            "scaling_efficiency": round(eff, 3),
+            "control_pre": cap_pre, "control_post": cap_post,
+            "window_accepted": gated_ok,
+            "capacity_normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
         }
     print(json.dumps({
         "metric": "dedup-family scaling efficiency (docs/sec at 8 vs 32 cpus)",
         "cpus_lo": lo, "cpus_hi": hi, "repeat": repeat,
+        "control_gate": gate,
         "docs": json.load(open(os.path.join(corpus, "_DONE.json")))["docs"],
         **shapes,
         "sf": SF_DIR,

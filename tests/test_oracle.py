@@ -90,6 +90,7 @@ SQL_CHECKED = [
     "s_knn_brute",
     "s_knn_lsh",
     "s_knn_ivf",
+    "s_knn_join",
 ]
 
 
