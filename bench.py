@@ -300,12 +300,20 @@ def scaling_dedup() -> None:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism levels. Default 8/32; BENCH_SCALING_LO/HI
+    # select e.g. 4/16 — same 4× ratio, but the hi level then leaves
+    # headroom for Ray system processes + driver on this 32-vCPU host
+    # (the md5 control shows the host grants only ~2.6-3.9× going
+    # 8→32 procs even for bare hashlib loops, so the 8/32 gate
+    # almost never passes; 4/16 measures the same N→4N question in
+    # windows the host can actually grant)
+    lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
     # host-capacity gating: only accept a measurement bracketed by two
-    # good control windows (ratio ≥ gate of the ideal 4.0); the round-4
+    # good control windows (ratio ≥ gate of the ideal hi/lo); the round-4
     # full-pipeline numbers (0.39/0.31) came from a throttled window the
     # control later showed was granting a 3.0-3.3× ceiling
-    gate = float(os.environ.get("BENCH_CONTROL_GATE", "3.6"))
+    gate = float(os.environ.get("BENCH_CONTROL_GATE", str(0.9 * hi / lo)))
     max_attempts = int(os.environ.get("BENCH_CONTROL_ATTEMPTS", "6"))
     retry_sleep = int(os.environ.get("BENCH_CONTROL_SLEEP", "60"))
 

@@ -143,6 +143,19 @@ class PdfDocument:
         doc._file = fh  # keep the fd alive for the mmap's lifetime
         return doc
 
+    def close(self) -> None:
+        """Release the mmap + fd of a ``from_file`` document (no-op for
+        in-memory buffers). Long-lived corpus-scan workers call this
+        after each file so fds don't accumulate until GC."""
+        fh = getattr(self, "_file", None)
+        if fh is not None:
+            try:
+                self.buf.close()  # the mmap buffer
+            except (AttributeError, ValueError, BufferError):
+                pass
+            fh.close()
+            self._file = None
+
     # ------------------------------------------------------------ structure
 
     def _read_header(self) -> str:

@@ -183,7 +183,13 @@ def extract_pdf_text(data: bytes, password=None) -> Tuple[str, List[Span], int]:
     offsets into ``text`` with kinds ``text`` (per show op) and
     ``page`` (per page). Pages are joined by a newline.
     """
-    doc = PdfDocument(data, password=password)
+    return extract_document_text(PdfDocument(data, password=password))
+
+
+def extract_document_text(doc) -> Tuple[str, List[Span], int]:
+    """Same extraction over an already-constructed ``PdfDocument`` —
+    the entry point for streaming sources that bind a document to an
+    mmap (``PdfDocument.from_file``) instead of in-memory bytes."""
     pieces: List[str] = []
     spans: List[Span] = []
     offset = 0
