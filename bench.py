@@ -81,7 +81,10 @@ def bench_extract() -> tuple:
 
     turns_dir = materialize_turns(SF_DIR, _turns_dir(), repeat=REPEAT)
 
-    pool = max(4, NUM_CPUS - 2)
+    # ALWAYS leave ≥2 CPUs outside the actor pool: a pool sized to the
+    # full budget starves the upstream read tasks (observed as a hard
+    # executor stall — reads backpressured forever at num_cpus=4)
+    pool = max(2, NUM_CPUS - 2)
     warm = run_extraction(
         "/root/testdata/sf0.001", out_dir=None,
         num_partitions=8, concurrency=(pool, pool), batch_size=16, sort=False,
@@ -208,7 +211,9 @@ def bench_dedup_child(shape: str, corpus_dir: str) -> None:
 
     n_docs = sum(pq.read_metadata(f).num_rows
                  for f in sorted(glob.glob(corpus_dir + "/*.parquet")))
-    pool = max(4, NUM_CPUS - 2)
+    # floor 2, never the whole budget: max(4, ...) at num_cpus=4 gave
+    # the pool all 4 CPUs and the read stage stalled behind it forever
+    pool = max(2, NUM_CPUS - 2)
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus_dir, columns=["doc_id", "text"])
     if shape == "sketch":
