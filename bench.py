@@ -321,9 +321,14 @@ def scaling_dedup() -> None:
     gate = float(os.environ.get("BENCH_CONTROL_GATE", str(0.9 * hi / lo)))
     max_attempts = int(os.environ.get("BENCH_CONTROL_ATTEMPTS", "6"))
     retry_sleep = int(os.environ.get("BENCH_CONTROL_SLEEP", "60"))
+    settle = int(os.environ.get("BENCH_CONTROL_SETTLE", "20"))
 
     def gated_pair(shape: str):
+        # keep the BEST-bracketed measurement (highest min(pre, post)
+        # control ratio), not the most recent: the host swings by the
+        # minute and the last attempt is often the worst-bracketed one
         last = None
+        best_key = -1.0
         for attempt in range(max_attempts):
             cap_pre = host_capacity(lo, hi)
             print(json.dumps({"shape": shape, "attempt": attempt,
@@ -333,10 +338,21 @@ def scaling_dedup() -> None:
                 continue
             r_lo = min((run(lo, shape) for _ in range(trials)), key=lambda r: r["sec"])
             r_hi = min((run(hi, shape) for _ in range(trials)), key=lambda r: r["sec"])
+            # settle before the post control: the Ray child has exited
+            # but raylet/plasma teardown and spill-file cleanup run on
+            # for ~10-20 s and systematically depress the control
+            # (measured: post ratios 0.5-0.9 below pre on EVERY
+            # attempt, regardless of host weather)
+            time.sleep(settle)
             cap_post = host_capacity(lo, hi)
             print(json.dumps({"shape": shape, "attempt": attempt,
-                              "control_post": cap_post}), file=sys.stderr, flush=True)
-            last = (r_lo, r_hi, cap_pre, cap_post, cap_post["ratio"] >= gate)
+                              "control_post": cap_post,
+                              "sec_lo": r_lo["sec"], "sec_hi": r_hi["sec"]},
+                             ), file=sys.stderr, flush=True)
+            key = min(cap_pre["ratio"], cap_post["ratio"])
+            if key > best_key:
+                best_key = key
+                last = (r_lo, r_hi, cap_pre, cap_post, cap_post["ratio"] >= gate)
             if cap_post["ratio"] >= gate:
                 return last
         if last is None:  # never saw a good pre-window: measure anyway,
@@ -345,6 +361,7 @@ def scaling_dedup() -> None:
             cap_pre = host_capacity(lo, hi)
             r_lo = min((run(lo, shape) for _ in range(trials)), key=lambda r: r["sec"])
             r_hi = min((run(hi, shape) for _ in range(trials)), key=lambda r: r["sec"])
+            time.sleep(settle)
             cap_post = host_capacity(lo, hi)
             print(json.dumps({"shape": shape, "fallback_controls":
                               [cap_pre, cap_post]}), file=sys.stderr, flush=True)
