@@ -18,9 +18,29 @@
 
 from __future__ import annotations
 
+import logging
+
 GEN_BUFFER_BLOCKS = 32
 
 _applied = False
+
+
+class _EmptySchemaWarningFilter(logging.Filter):
+    """Drop Ray 2.49's 'RefBundle with a different schema' warning ONLY
+    when the *new* schema is empty: sort-shuffle reduce partitions that
+    received zero rows emit schema-less empty blocks (Ray-internal —
+    the engine's own group kernels already return typed empty tables),
+    which downstream schema unification handles fine. Genuine
+    schema-vs-schema mismatches still log."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        if "different schema" not in msg:
+            return True
+        # empty new schema renders as "." (Arrow) or as a columnless
+        # PandasBlockSchema, depending on the empty block's format
+        return not ("new schema: ." in msg
+                    or "new schema: PandasBlockSchema(names=[], types=[])" in msg)
 
 
 def apply_engine_defaults() -> None:
@@ -31,4 +51,7 @@ def apply_engine_defaults() -> None:
 
     ctx = DataContext.get_current()
     ctx._max_num_blocks_in_streaming_gen_buffer = GEN_BUFFER_BLOCKS
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaWarningFilter())
     _applied = True
